@@ -1,0 +1,193 @@
+"""Single source of truth for configuration.
+
+The reference threads an argparse ``args`` namespace through every module
+(reference train_iq.py:312-353, run.sh:1-10).  Here config is a frozen
+dataclass — hashable, so it can be a static argument to ``jax.jit`` — with an
+argparse shim that reproduces the reference flag surface exactly, plus a JSON
+round-trip (the reference dumps ``args.json`` next to checkpoints and reloads
+it at eval time, old_train_iq.py:287-288 / evaluate_iq.py:81-83).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+
+@dataclass(frozen=True)
+class Config:
+    """Hyperparameters and run options.
+
+    Field names match the reference CLI flags (reference train_iq.py:315-351)
+    so run.sh-style configs translate 1:1.  TPU-specific fields are grouped at
+    the bottom.
+    """
+
+    # --- model dims (reference train_iq.py:315-326) ---
+    emb_dim: int = 300
+    hidden_dim: int = 300
+    latent_dim: int = 300
+    pwffn_dim: int = 600
+    num_layers: int = 4
+    num_heads: int = 4
+
+    # --- optimization (reference train_iq.py:327-339) ---
+    lr: float = 3e-5
+    num_pretraining_steps: int = 12_000
+    total_training_steps: int = 35_000
+    full_kl_step: int = 15_000
+    kl_ceiling: float = 0.5
+    aux_ceiling: float = 1.0
+    image_recon_lambda: float = 0.1
+    batch_size: int = 128
+    warmup_steps: int = 4000          # reference train_iq.py:252 (hardcoded)
+    grad_clip: float = 5.0            # reference train_iq.py:372 (Trainer arg)
+
+    # --- data (reference train_iq.py:341-351) ---
+    emb_file: Optional[str] = None    # GloVe text file, e.g. vectors/glove.6B.300d.txt
+    dataset: str = "data/processed/iq_dataset.hdf5"
+    val_dataset: str = "data/processed/iq_val_dataset.hdf5"
+    vocab: str = "vocab.json"
+    cat2name: str = "data/processed/cat2name.json"
+    input_mode: str = "ans"           # "ans" | "cat"
+    print_note: str = ""
+
+    # --- sequence geometry (reference store_dataset.py:45, data_loader.py:41) ---
+    max_q_length: int = 20
+    max_a_length: int = 4
+    max_decode_length: int = 50       # reference train_iq.py:174
+
+    # --- dropout (reference transformer_layers.py:96-97 defaults) ---
+    attention_dropout: float = 0.1
+    relu_dropout: float = 0.1
+    layer_dropout: float = 0.0
+    input_dropout: float = 0.0
+
+    # --- harness cadence (reference train_iq.py:372-373) ---
+    val_check_interval: int = 500
+    limit_val_batches: int = 100
+    checkpoint_every: int = 400       # reference train_iq.py:373 (CheckpointEveryNSteps(400))
+    output_dir: str = "runs/default"
+
+    # --- TPU-native options (no reference equivalent) ---
+    dtype: str = "bfloat16"           # compute dtype for matmuls/attention
+    param_dtype: str = "float32"      # parameter storage dtype
+    mesh_shape: Tuple[int, ...] = (1, 1)   # (data, model)
+    mesh_axis_names: Tuple[str, ...] = ("data", "model")
+    use_pallas_attention: bool = False
+    remat: bool = False               # jax.checkpoint the transformer blocks
+    seed: int = 0
+    image_size: int = 224
+    prefetch_depth: int = 2
+    compat_pad_seed: bool = True      # seed greedy decode with <pad> like the
+                                      # reference (iq.py:129); False uses <start>
+
+    # ------------------------------------------------------------------
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, sort_keys=True)
+
+    @classmethod
+    def from_json(cls, s: str) -> "Config":
+        raw = json.loads(s)
+        fields = {f.name for f in dataclasses.fields(cls)}
+        kept = {k: v for k, v in raw.items() if k in fields}
+        for key in ("mesh_shape", "mesh_axis_names"):
+            if key in kept and isinstance(kept[key], list):
+                kept[key] = tuple(kept[key])
+        return cls(**kept)
+
+    def save(self, path: str) -> None:
+        with open(path, "w") as f:
+            f.write(self.to_json())
+
+    @classmethod
+    def load(cls, path: str) -> "Config":
+        with open(path) as f:
+            return cls.from_json(f.read())
+
+    # convenience ------------------------------------------------------
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_dim // self.num_heads
+
+    @property
+    def max_target_len(self) -> int:
+        return self.max_q_length
+
+    @property
+    def max_posterior_len(self) -> int:
+        # posterior = question with the answer-type token inserted at idx 1
+        # (reference data_loader.py:84)
+        return self.max_q_length + 1
+
+    @property
+    def max_context_len(self) -> int:
+        # "ans": answer (max_a_length) with answer-type inserted at idx 1
+        # (reference data_loader.py:115); "cat": [<start>, cat, <end>]
+        # (reference data_loader.py:81-82)
+        return self.max_a_length + 1 if self.input_mode == "ans" else 3
+
+
+# ----------------------------------------------------------------------
+# argparse shim mirroring reference train_iq.py:312-353
+
+
+def add_config_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
+    defaults = Config()
+    parser.add_argument("--emb_dim", type=int, default=defaults.emb_dim)
+    parser.add_argument("--hidden_dim", type=int, default=defaults.hidden_dim)
+    parser.add_argument("--latent_dim", type=int, default=defaults.latent_dim)
+    parser.add_argument("--pwffn_dim", type=int, default=defaults.pwffn_dim)
+    parser.add_argument("--num_layers", type=int, default=defaults.num_layers)
+    parser.add_argument("--num_heads", type=int, default=defaults.num_heads)
+    parser.add_argument("--lr", type=float, default=defaults.lr)
+    parser.add_argument("--num_pretraining_steps", type=int,
+                        default=defaults.num_pretraining_steps)
+    parser.add_argument("--total_training_steps", type=int,
+                        default=defaults.total_training_steps)
+    parser.add_argument("--full_kl_step", type=int, default=defaults.full_kl_step)
+    parser.add_argument("--kl_ceiling", type=float, default=defaults.kl_ceiling)
+    parser.add_argument("--aux_ceiling", type=float, default=defaults.aux_ceiling)
+    parser.add_argument("--image_recon_lambda", type=float,
+                        default=defaults.image_recon_lambda)
+    parser.add_argument("--batch_size", type=int, default=defaults.batch_size)
+    parser.add_argument("--emb_file", type=str, default=defaults.emb_file)
+    parser.add_argument("--dataset", type=str, default=defaults.dataset)
+    parser.add_argument("--val_dataset", type=str, default=defaults.val_dataset)
+    parser.add_argument("--vocab", type=str, default=defaults.vocab)
+    parser.add_argument("--cat2name", type=str, default=defaults.cat2name)
+    parser.add_argument("--input_mode", type=str, default=defaults.input_mode,
+                        choices=("ans", "cat"))
+    parser.add_argument("--print_note", type=str, default=defaults.print_note)
+    parser.add_argument("--output_dir", type=str, default=defaults.output_dir)
+    parser.add_argument("--val_check_interval", type=int,
+                        default=defaults.val_check_interval)
+    parser.add_argument("--limit_val_batches", type=int,
+                        default=defaults.limit_val_batches)
+    parser.add_argument("--checkpoint_every", type=int,
+                        default=defaults.checkpoint_every)
+    # TPU-native flags
+    parser.add_argument("--dtype", type=str, default=defaults.dtype)
+    parser.add_argument("--num_data_shards", type=int, default=1,
+                        help="size of the 'data' mesh axis")
+    parser.add_argument("--num_model_shards", type=int, default=1,
+                        help="size of the 'model' mesh axis")
+    parser.add_argument("--use_pallas_attention", action="store_true")
+    parser.add_argument("--remat", action="store_true")
+    parser.add_argument("--seed", type=int, default=defaults.seed)
+    return parser
+
+
+def config_from_args(args: argparse.Namespace) -> Config:
+    fields = {f.name for f in dataclasses.fields(Config)}
+    kw = {k: v for k, v in vars(args).items() if k in fields and v is not None}
+    d = getattr(args, "num_data_shards", 1)
+    m = getattr(args, "num_model_shards", 1)
+    kw["mesh_shape"] = (d, m)
+    return Config(**kw)

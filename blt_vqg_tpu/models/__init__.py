@@ -1,0 +1,1 @@
+from blt_vqg_tpu.models.iq import IQ, apply_glove_table

@@ -1,0 +1,238 @@
+"""The IQ model: information-maximizing visual question generation.
+
+Capability-parity with reference models/iq.py + encoder_transformer.py +
+decoder_transformer.py, re-designed for TPU:
+
+- one flax module wiring shared embedding→context/posterior encoders→latent→
+  decoder→image reconstructor, same forward contract as reference
+  iq.py:82-114: ``(images, context, posterior, target) →
+  (logits, z_logit, kld, (img_feat, recon_img_feat))``;
+- ``latent_mode`` (the two-phase GVT switch, reference iq.py:51-54) is a
+  *static* argument — the pretrain and latent phases are two separately
+  compiled programs sharing one parameter pytree, instead of Python-side
+  module mutation;
+- greedy decode is a ``lax.scan`` over a KV cache (O(T) work/step) instead of
+  re-encoding the whole prefix per step (reference iq.py:134-143, O(T²));
+  emits the same per-step top-6 (token, prob) probe used by the reference's
+  validation printer (train_iq.py:189-193);
+- the decode seed token is ``<pad>`` when ``compat_pad_seed`` (faithful to
+  reference iq.py:129) or ``<start>`` (the presumably-intended behavior).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from blt_vqg_tpu.core.config import Config
+from blt_vqg_tpu.ops.latent import Latent
+from blt_vqg_tpu.ops.masks import decoder_mask, pad_mask
+from blt_vqg_tpu.ops.mlp import MLP
+from blt_vqg_tpu.ops.resnet import EncoderCNN
+from blt_vqg_tpu.ops.transformer import TransformerDecoder, TransformerEncoder
+
+PAD, START, END = 0, 1, 3  # reserved ids (text/vocabulary.py contract)
+
+
+class IQ(nn.Module):
+    cfg: Config
+    vocab_size: int
+
+    def setup(self):
+        cfg = self.cfg
+        dtype = jnp.dtype(cfg.dtype)
+        self.embed = nn.Embed(self.vocab_size, cfg.emb_dim, dtype=dtype,
+                              embedding_init=nn.initializers.normal(0.01),
+                              name="embed")
+        self.embed_proj = nn.Dense(cfg.hidden_dim, dtype=dtype,
+                                   name="embed_proj")
+        self.encoder_cnn = EncoderCNN(cfg.hidden_dim, dtype, name="encoder_cnn")
+        enc_kw = dict(
+            hidden_dim=cfg.hidden_dim, num_layers=cfg.num_layers,
+            num_heads=cfg.num_heads, pwffn_dim=cfg.pwffn_dim,
+            attention_dropout=cfg.attention_dropout,
+            relu_dropout=cfg.relu_dropout, layer_dropout=cfg.layer_dropout,
+            input_dropout=cfg.input_dropout, dtype=dtype,
+            use_pallas=cfg.use_pallas_attention, remat=cfg.remat)
+        # context encoder ("encoder") + posterior encoder ("r_encoder"),
+        # reference encoder_transformer.py:12-19
+        self.context_encoder = TransformerEncoder(**enc_kw, name="context_encoder")
+        self.posterior_encoder = TransformerEncoder(**enc_kw, name="posterior_encoder")
+        self.latent = Latent(cfg.latent_dim, dtype=dtype, name="latent")
+        self.latent_projection = nn.Dense(cfg.hidden_dim, dtype=dtype,
+                                          name="latent_projection")
+        self.decoder = TransformerDecoder(
+            **enc_kw, max_decode_len=max(cfg.max_decode_length + 1,
+                                         cfg.max_target_len),
+            name="decoder")
+        self.output_proj = nn.Dense(self.vocab_size, dtype=jnp.float32,
+                                    name="output_proj")
+        self.z_classifier = nn.Dense(self.vocab_size, dtype=jnp.float32,
+                                     name="z_classifier")
+        self.image_reconstructor = MLP(cfg.pwffn_dim, cfg.hidden_dim,
+                                       num_layers=2, dtype=dtype,
+                                       name="image_reconstructor")
+
+    # ------------------------------------------------------------------
+    def embed_tokens(self, tokens: jnp.ndarray) -> jnp.ndarray:
+        """Shared embedding + projection to hidden (reference iq.py:75-78)."""
+        return self.embed_proj(self.embed(tokens))
+
+    def encode_context(self, context: jnp.ndarray, image_features: jnp.ndarray,
+                       deterministic: bool = True):
+        """Context encoder + image injection at position 0
+        (reference encoder_transformer.py:28-32)."""
+        src_mask = pad_mask(context, PAD)
+        enc = self.context_encoder(self.embed_tokens(context), src_mask,
+                                   deterministic)
+        enc = enc.at[:, 0].add(image_features.astype(enc.dtype))
+        return enc, src_mask
+
+    # ------------------------------------------------------------------
+    def __call__(self, images: jnp.ndarray, context: jnp.ndarray,
+                 posterior: jnp.ndarray, target: jnp.ndarray,
+                 latent_mode: bool = False, train: bool = False
+                 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], jnp.ndarray,
+                            Tuple[jnp.ndarray, jnp.ndarray]]:
+        """Training/validation forward (reference iq.py:82-114 contract).
+
+        images [B,224,224,3] NHWC float; context [B,Tc] (answer or category
+        tokens per ``input_mode``); posterior [B,Tp] (question-derived
+        posterior sequence); target [B,Tq] (question tokens).
+        """
+        det = not train
+        image_features = self.encoder_cnn(images, train=train)
+
+        enc, src_mask = self.encode_context(context, image_features, det)
+
+        kld = jnp.zeros((), jnp.float32)
+        z_proj = None
+        z_logit = None
+        if latent_mode:
+            # posterior branch: encode the posterior sequence, take its
+            # position-0 summary (reference encoder_transformer.py:24-35)
+            post_mask = pad_mask(posterior, PAD)
+            post_enc = self.posterior_encoder(
+                self.embed_tokens(posterior), post_mask, det)
+            # the posterior is used for both train and validation forward
+            # (reference train_iq.py:134-139); only decode_greedy samples
+            # from the prior.
+            kld, z, _ = self.latent(enc[:, 0], post_enc[:, 0], deterministic=det)
+            z_proj = self.latent_projection(z)
+            z_logit = self.z_classifier(
+                (z_proj + image_features).astype(jnp.float32))
+
+        # --- decoder: shift-right with <start>, inject img(+z) at pos 0
+        # (reference decoder_transformer.py:22-41)
+        b = target.shape[0]
+        sos = jnp.full((b, 1), START, dtype=target.dtype)
+        shifted = jnp.concatenate([sos, target[:, :-1]], axis=1)
+        trg_mask = decoder_mask(shifted, PAD)
+        temb = self.embed_tokens(shifted)
+        inject = image_features if z_proj is None else image_features + z_proj
+        temb = temb.at[:, 0].add(inject.astype(temb.dtype))
+        dec_out = self.decoder(temb, enc, src_mask, trg_mask, det)
+        logits = self.output_proj(dec_out.astype(jnp.float32))
+
+        # --- image-feature reconstruction (reference iq.py:109-112)
+        recon_in = enc[:, 0] if z_proj is None else enc[:, 0] + z_proj
+        recon = self.image_reconstructor(recon_in, deterministic=det)
+
+        return logits, z_logit, kld, (image_features.astype(jnp.float32),
+                                      recon.astype(jnp.float32))
+
+    # ------------------------------------------------------------------
+    def inference_logits(self, images: jnp.ndarray, context: jnp.ndarray,
+                         prefix: jnp.ndarray, latent_mode: bool = False
+                         ) -> jnp.ndarray:
+        """Full-prefix decode logits (reference decoder_transformer.py:43-48
+        ``inference_forward`` capability): runs the decoder over the whole
+        prefix, no shift-right, image(+z) injected at position 0.
+
+        The reference additionally pad-masks the prefix, which (with its
+        ``<pad>`` seed token) fully masks the seed column — a quirk
+        SURVEY.md §2.7 flags as a bug; here decode-time self-attention is
+        causal-only, consistent with ``decode_greedy``.  O(T²) per sequence —
+        exists for parity testing and API compatibility; production decoding
+        uses ``decode_greedy``.
+        """
+        image_features = self.encoder_cnn(images, train=False)
+        enc, src_mask = self.encode_context(context, image_features, True)
+        z_proj = jnp.zeros_like(image_features)
+        if latent_mode:
+            _, z, _ = self.latent(enc[:, 0], None, deterministic=True)
+            z_proj = self.latent_projection(z)
+        temb = self.embed_tokens(prefix)
+        temb = temb.at[:, 0].add((image_features + z_proj).astype(temb.dtype))
+        from blt_vqg_tpu.ops.masks import causal_mask
+        trg_mask = causal_mask(prefix.shape[1])
+        dec_out = self.decoder(temb, enc, src_mask, trg_mask, True)
+        return self.output_proj(dec_out.astype(jnp.float32))
+
+    # ------------------------------------------------------------------
+    def decode_greedy(self, images: jnp.ndarray, context: jnp.ndarray,
+                      max_decode_length: int = 50, latent_mode: bool = False
+                      ) -> Dict[str, jnp.ndarray]:
+        """Greedy decoding with a KV cache under ``lax.scan``.
+
+        Semantics of reference iq.py:117-152: encode context once, sample z
+        from the *prior*, seed with one token, then greedily emit
+        ``max_decode_length + 1`` tokens, recording top-6 (prob, token) per
+        step.  Returns dict with tokens [B, L], top_tokens [B, L, 6],
+        top_probs [B, L, 6].
+        """
+        cfg = self.cfg
+        image_features = self.encoder_cnn(images, train=False)
+        enc, src_mask = self.encode_context(context, image_features, True)
+
+        z_proj = jnp.zeros_like(image_features)
+        if latent_mode:
+            _, z, _ = self.latent(enc[:, 0], None, deterministic=True)
+            z_proj = self.latent_projection(z)
+
+        cross_kvs = self.decoder.precompute_cross(enc)
+        b = context.shape[0]
+        steps = max_decode_length + 1
+        caches = self.decoder.init_cache(b, steps)
+        seed_id = PAD if cfg.compat_pad_seed else START
+        seed = jnp.full((b,), seed_id, dtype=jnp.int32)
+
+        inject = (image_features + z_proj).astype(jnp.dtype(cfg.dtype))
+
+        def body(carry, pos):
+            token, caches = carry
+            x_t = self.embed_tokens(token[:, None])
+            # position-0 injection of image(+z) features, matching the
+            # per-step add the reference does at [:, 0] of the full prefix
+            # (decoder_transformer.py:46)
+            x_t = jnp.where(pos == 0, x_t + inject[:, None, :], x_t)
+            y_t, caches = self.decoder.step(x_t, caches, cross_kvs, pos, src_mask)
+            logits_t = self.output_proj(y_t[:, 0].astype(jnp.float32))
+            next_token = jnp.argmax(logits_t, axis=-1).astype(jnp.int32)
+            probs = jax.nn.softmax(logits_t, axis=-1)
+            top_probs, top_tokens = jax.lax.top_k(probs, 6)
+            return (next_token, caches), (next_token, top_tokens, top_probs)
+
+        _, (tokens, top_tokens, top_probs) = jax.lax.scan(
+            body, (seed, caches), jnp.arange(steps))
+
+        # scan stacks along axis 0 → [L, B, ...]; move batch first
+        return {
+            "tokens": jnp.moveaxis(tokens, 0, 1),
+            "top_tokens": jnp.moveaxis(top_tokens, 0, 1),
+            "top_probs": jnp.moveaxis(top_probs, 0, 1),
+        }
+
+
+# ----------------------------------------------------------------------
+def apply_glove_table(params: Dict[str, Any], table) -> Dict[str, Any]:
+    """Overwrites the embedding param with a GloVe-initialized table
+    (reference iq.py:57-74 semantics, done as post-init surgery)."""
+    import numpy as np
+    new = jax.tree_util.tree_map(lambda x: x, params)  # shallow-ish copy
+    new["embed"] = dict(new["embed"])
+    new["embed"]["embedding"] = jnp.asarray(np.asarray(table))
+    return new

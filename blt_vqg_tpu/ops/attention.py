@@ -1,0 +1,122 @@
+"""Multi-head attention, TPU-first.
+
+Replaces the reference's hand-rolled MHA (reference
+models/transformer_layers.py:412-532) with an einsum formulation XLA maps
+straight onto the MXU, plus:
+
+- computation in ``dtype`` (bfloat16 by default) with f32 softmax
+  accumulation (``preferred_element_type``) — the numerically safe MXU recipe;
+- an explicit single-step decode path over a KV cache (the reference re-runs
+  the decoder over the whole growing prefix every step, reference
+  iq.py:134-143 — linear vs. quadratic work);
+- head-parallel parameter naming (q/k/v/out_proj) that the sharding rules in
+  parallel/sharding.py partition over the ``model`` mesh axis;
+- optional Pallas flash-attention kernel for the fused softmax(QK^T)V path.
+
+Mask convention: True = masked (see ops/masks.py).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from blt_vqg_tpu.ops.masks import MASK_FILL
+
+
+class MultiHeadAttention(nn.Module):
+    hidden_dim: int
+    num_heads: int
+    dropout_rate: float = 0.1
+    dtype: jnp.dtype = jnp.bfloat16
+    use_pallas: bool = False
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_dim // self.num_heads
+
+    def setup(self):
+        dense = lambda name: nn.Dense(
+            self.hidden_dim, use_bias=False, dtype=self.dtype, name=name)
+        self.q_proj = dense("q_proj")
+        self.k_proj = dense("k_proj")
+        self.v_proj = dense("v_proj")
+        self.out_proj = dense("out_proj")
+        self.dropout = nn.Dropout(self.dropout_rate)
+
+    def _split(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, t, _ = x.shape
+        return x.reshape(b, t, self.num_heads, self.head_dim)
+
+    def __call__(self, q_in: jnp.ndarray, kv_in: jnp.ndarray,
+                 mask: Optional[jnp.ndarray] = None,
+                 deterministic: bool = True) -> jnp.ndarray:
+        """Full attention. q_in [B,Tq,D], kv_in [B,Tk,D], mask [B|1,1,Tq|1,Tk]."""
+        q = self._split(self.q_proj(q_in)) * (self.head_dim ** -0.5)
+        k = self._split(self.k_proj(kv_in))
+        v = self._split(self.v_proj(kv_in))
+
+        if self.use_pallas and deterministic:
+            from blt_vqg_tpu.ops.pallas.flash_attention import flash_attention
+            ctx = flash_attention(q, k, v, mask)
+        else:
+            # [B,H,Tq,Tk] logits in f32 for a stable softmax
+            logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                                preferred_element_type=jnp.float32)
+            if mask is not None:
+                logits = jnp.where(mask, MASK_FILL, logits)
+            weights = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+            weights = self.dropout(weights, deterministic=deterministic)
+            ctx = jnp.einsum("bhqk,bkhd->bqhd", weights, v)
+
+        b, tq = q_in.shape[0], q_in.shape[1]
+        return self.out_proj(ctx.reshape(b, tq, self.hidden_dim))
+
+    # ---- decode path: explicit KV cache ----
+
+    def kv(self, kv_in: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Precompute K/V ([B,Tk,H,Dh] each) — for cross-attention caching."""
+        return self._split(self.k_proj(kv_in)), self._split(self.v_proj(kv_in))
+
+    def attend_cached(self, q_in: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                      mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """Attention against precomputed K/V. q_in [B,1,D] (or [B,Tq,D])."""
+        q = self._split(self.q_proj(q_in)) * (self.head_dim ** -0.5)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                            preferred_element_type=jnp.float32)
+        if mask is not None:
+            logits = jnp.where(mask, MASK_FILL, logits)
+        weights = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", weights, v)
+        b, tq = q_in.shape[0], q_in.shape[1]
+        return self.out_proj(ctx.reshape(b, tq, self.hidden_dim))
+
+    def step(self, q_in: jnp.ndarray, cache_k: jnp.ndarray,
+             cache_v: jnp.ndarray, pos: jnp.ndarray,
+             ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """One self-attention decode step.
+
+        q_in [B,1,D] is the current position's input; its K/V are written
+        into the caches ([B,L,H,Dh]) at ``pos``; attention spans positions
+        <= pos (future slots masked by position index, so cache garbage past
+        ``pos`` never contributes).
+        Returns (context [B,1,D], new_cache_k, new_cache_v).
+        """
+        k_t = self._split(self.k_proj(q_in))  # [B,1,H,Dh]
+        v_t = self._split(self.v_proj(q_in))
+        cache_k = jax.lax.dynamic_update_slice_in_dim(cache_k, k_t, pos, axis=1)
+        cache_v = jax.lax.dynamic_update_slice_in_dim(cache_v, v_t, pos, axis=1)
+
+        q = self._split(self.q_proj(q_in)) * (self.head_dim ** -0.5)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, cache_k,
+                            preferred_element_type=jnp.float32)
+        l = cache_k.shape[1]
+        future = jnp.arange(l)[None, None, None, :] > pos
+        logits = jnp.where(future, MASK_FILL, logits)
+        weights = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", weights, cache_v)
+        out = self.out_proj(ctx.reshape(q_in.shape[0], 1, self.hidden_dim))
+        return out, cache_k, cache_v

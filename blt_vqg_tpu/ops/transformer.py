@@ -1,0 +1,223 @@
+"""Pre-LN transformer encoder/decoder stacks.
+
+Capability-parity with reference models/transformer_layers.py:88-364 (pre-LN
+layers, sinusoidal timing signal added to inputs, final LayerNorm, pad /
+causal masking), redesigned for XLA:
+
+- static shapes everywhere; masks are booleans applied to f32 logits;
+- the decoder exposes an O(T) single-step decode path over explicit KV
+  caches (``precompute_cross`` + ``step``) driven by ``lax.scan`` in the
+  model layer — the reference re-encodes the whole prefix per step;
+- FFN is linear→ReLU→dropout→linear (the reference accidentally applies
+  ReLU+dropout after the last layer too, reference
+  transformer_layers.py:400-408 — a bug SURVEY.md §2.7 says not to copy);
+- optional ``jax.checkpoint`` (remat) per block to trade FLOPs for HBM.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from blt_vqg_tpu.ops.attention import MultiHeadAttention
+from blt_vqg_tpu.ops.timing import timing_signal
+
+
+class PositionwiseFeedForward(nn.Module):
+    hidden_dim: int
+    pwffn_dim: int
+    dropout_rate: float = 0.1
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        h = nn.Dense(self.pwffn_dim, dtype=self.dtype, name="ffn_in")(x)
+        h = nn.relu(h)
+        h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
+        return nn.Dense(self.hidden_dim, dtype=self.dtype, name="ffn_out")(h)
+
+
+class EncoderLayer(nn.Module):
+    hidden_dim: int
+    num_heads: int
+    pwffn_dim: int
+    attention_dropout: float = 0.1
+    relu_dropout: float = 0.1
+    layer_dropout: float = 0.0
+    dtype: jnp.dtype = jnp.bfloat16
+    use_pallas: bool = False
+
+    def setup(self):
+        self.ln_mha = nn.LayerNorm(dtype=self.dtype, name="ln_mha")
+        self.mha = MultiHeadAttention(
+            self.hidden_dim, self.num_heads, self.attention_dropout,
+            dtype=self.dtype, use_pallas=self.use_pallas, name="mha")
+        self.ln_ffn = nn.LayerNorm(dtype=self.dtype, name="ln_ffn")
+        self.ffn = PositionwiseFeedForward(
+            self.hidden_dim, self.pwffn_dim, self.relu_dropout,
+            dtype=self.dtype, name="ffn")
+        self.dropout = nn.Dropout(self.layer_dropout)
+
+    def __call__(self, x, mask=None, deterministic: bool = True):
+        y = self.mha(self.ln_mha(x), self.ln_mha(x), mask, deterministic)
+        x = self.dropout(x + y, deterministic=deterministic)
+        y = self.ffn(self.ln_ffn(x), deterministic)
+        return self.dropout(x + y, deterministic=deterministic)
+
+
+class TransformerEncoder(nn.Module):
+    """Stack of pre-LN encoder layers + input timing signal + final LN.
+
+    (reference transformer_layers.py:88-152 capability)
+    """
+    hidden_dim: int
+    num_layers: int
+    num_heads: int
+    pwffn_dim: int
+    attention_dropout: float = 0.1
+    relu_dropout: float = 0.1
+    layer_dropout: float = 0.0
+    input_dropout: float = 0.0
+    dtype: jnp.dtype = jnp.bfloat16
+    use_pallas: bool = False
+    remat: bool = False
+
+    def setup(self):
+        layer_cls = nn.remat(EncoderLayer) if self.remat else EncoderLayer
+        self.layers = [
+            layer_cls(self.hidden_dim, self.num_heads, self.pwffn_dim,
+                      self.attention_dropout, self.relu_dropout,
+                      self.layer_dropout, self.dtype, self.use_pallas,
+                      name=f"layer_{i}")
+            for i in range(self.num_layers)
+        ]
+        self.final_ln = nn.LayerNorm(dtype=self.dtype, name="final_ln")
+        self.in_dropout = nn.Dropout(self.input_dropout)
+
+    def __call__(self, x, mask=None, deterministic: bool = True):
+        t = x.shape[1]
+        x = self.in_dropout(x, deterministic=deterministic)
+        x = x + timing_signal(t, self.hidden_dim, dtype=x.dtype)
+        for layer in self.layers:
+            x = layer(x, mask, deterministic)
+        return self.final_ln(x)
+
+
+class DecoderLayer(nn.Module):
+    hidden_dim: int
+    num_heads: int
+    pwffn_dim: int
+    attention_dropout: float = 0.1
+    relu_dropout: float = 0.1
+    layer_dropout: float = 0.0
+    dtype: jnp.dtype = jnp.bfloat16
+    use_pallas: bool = False
+
+    def setup(self):
+        self.ln_self = nn.LayerNorm(dtype=self.dtype, name="ln_self")
+        self.self_attn = MultiHeadAttention(
+            self.hidden_dim, self.num_heads, self.attention_dropout,
+            dtype=self.dtype, use_pallas=self.use_pallas, name="self_attn")
+        self.ln_cross = nn.LayerNorm(dtype=self.dtype, name="ln_cross")
+        self.cross_attn = MultiHeadAttention(
+            self.hidden_dim, self.num_heads, self.attention_dropout,
+            dtype=self.dtype, use_pallas=self.use_pallas, name="cross_attn")
+        self.ln_ffn = nn.LayerNorm(dtype=self.dtype, name="ln_ffn")
+        self.ffn = PositionwiseFeedForward(
+            self.hidden_dim, self.pwffn_dim, self.relu_dropout,
+            dtype=self.dtype, name="ffn")
+        self.dropout = nn.Dropout(self.layer_dropout)
+
+    def __call__(self, x, enc_out, src_mask=None, trg_mask=None,
+                 deterministic: bool = True):
+        xn = self.ln_self(x)
+        y = self.self_attn(xn, xn, trg_mask, deterministic)
+        x = self.dropout(x + y, deterministic=deterministic)
+        y = self.cross_attn(self.ln_cross(x), enc_out, src_mask, deterministic)
+        x = self.dropout(x + y, deterministic=deterministic)
+        y = self.ffn(self.ln_ffn(x), deterministic)
+        return self.dropout(x + y, deterministic=deterministic)
+
+    # ---- decode path ----
+    def cross_kv(self, enc_out):
+        return self.cross_attn.kv(enc_out)
+
+    def step(self, x_t, cache_k, cache_v, ck, cv, pos, src_mask):
+        """One decode step. x_t [B,1,D]; caches [B,L,H,Dh]; (ck, cv) are the
+        precomputed cross-attention K/V for this layer."""
+        xn = self.ln_self(x_t)
+        y, cache_k, cache_v = self.self_attn.step(xn, cache_k, cache_v, pos)
+        x_t = x_t + y
+        y = self.cross_attn.attend_cached(self.ln_cross(x_t), ck, cv, src_mask)
+        x_t = x_t + y
+        y = self.ffn(self.ln_ffn(x_t), deterministic=True)
+        return x_t + y, cache_k, cache_v
+
+
+class TransformerDecoder(nn.Module):
+    """Stack of pre-LN decoder layers (self + cross attention + FFN).
+
+    (reference transformer_layers.py:155-221, 286-364 capability)
+    """
+    hidden_dim: int
+    num_layers: int
+    num_heads: int
+    pwffn_dim: int
+    attention_dropout: float = 0.1
+    relu_dropout: float = 0.1
+    layer_dropout: float = 0.0
+    input_dropout: float = 0.0
+    dtype: jnp.dtype = jnp.bfloat16
+    use_pallas: bool = False
+    remat: bool = False
+    max_decode_len: int = 64
+
+    def setup(self):
+        layer_cls = nn.remat(DecoderLayer) if self.remat else DecoderLayer
+        self.layers = [
+            layer_cls(self.hidden_dim, self.num_heads, self.pwffn_dim,
+                      self.attention_dropout, self.relu_dropout,
+                      self.layer_dropout, self.dtype, self.use_pallas,
+                      name=f"layer_{i}")
+            for i in range(self.num_layers)
+        ]
+        self.final_ln = nn.LayerNorm(dtype=self.dtype, name="final_ln")
+        self.in_dropout = nn.Dropout(self.input_dropout)
+
+    def __call__(self, x, enc_out, src_mask=None, trg_mask=None,
+                 deterministic: bool = True):
+        t = x.shape[1]
+        x = self.in_dropout(x, deterministic=deterministic)
+        x = x + timing_signal(t, self.hidden_dim, dtype=x.dtype)
+        for layer in self.layers:
+            x = layer(x, enc_out, src_mask, trg_mask, deterministic)
+        return self.final_ln(x)
+
+    # ---- decode path ----
+    def precompute_cross(self, enc_out) -> List[Tuple[jnp.ndarray, jnp.ndarray]]:
+        return [layer.cross_kv(enc_out) for layer in self.layers]
+
+    def init_cache(self, batch: int, max_len: int):
+        """Zeroed self-attention KV caches: list of (k, v) [B,L,H,Dh]."""
+        head_dim = self.hidden_dim // self.num_heads
+        shape = (batch, max_len, self.num_heads, head_dim)
+        z = jnp.zeros(shape, dtype=self.dtype)
+        return [(z, z) for _ in range(self.num_layers)]
+
+    def step(self, x_t, caches, cross_kvs, pos, src_mask=None):
+        """One decode step: x_t [B,1,D] at position ``pos``.
+
+        Returns (normed output [B,1,D], updated caches).
+        """
+        sig = jnp.asarray(
+            timing_signal(self.max_decode_len, self.hidden_dim, dtype=x_t.dtype))
+        x_t = x_t + jnp.take(sig[0], pos[None], axis=0)[None]
+        new_caches = []
+        for layer, (cache_k, cache_v), (ck, cv) in zip(
+                self.layers, caches, cross_kvs):
+            x_t, cache_k, cache_v = layer.step(
+                x_t, cache_k, cache_v, ck, cv, pos, src_mask)
+            new_caches.append((cache_k, cache_v))
+        return self.final_ln(x_t), new_caches

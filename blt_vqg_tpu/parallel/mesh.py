@@ -1,0 +1,49 @@
+"""Device-mesh construction.
+
+The reference scales only via Lightning-DDP-over-NCCL, implicitly
+(reference train_iq.py:373, ``gpus=args.num_gpus``).  Here parallelism is
+first-class and explicit: a named ``jax.sharding.Mesh`` with a ``data`` axis
+(batch/data parallelism — gradients all-reduced by XLA over ICI) and a
+``model`` axis (tensor parallelism of attention heads and FFN width).  All
+collectives are emitted by XLA from sharding annotations; there is no
+hand-written communication layer to maintain.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+from jax.sharding import Mesh
+
+
+def build_mesh(
+    mesh_shape: Tuple[int, ...] = (1, 1),
+    axis_names: Tuple[str, ...] = ("data", "model"),
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Builds a Mesh of `prod(mesh_shape)` devices.
+
+    ``mesh_shape=(D, M)`` lays devices out so that the ``model`` axis is
+    innermost (fastest-varying) — TP collectives (all-gather/reduce-scatter of
+    activations) ride the shortest ICI hops, while DP's once-per-step gradient
+    all-reduce takes the outer axis.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    need = int(np.prod(mesh_shape))
+    if need > len(devices):
+        raise ValueError(
+            f"mesh_shape {mesh_shape} needs {need} devices, have {len(devices)}")
+    grid = np.asarray(devices[:need]).reshape(mesh_shape)
+    return Mesh(grid, axis_names)
+
+
+def local_mesh(data: int = -1, model: int = 1) -> Mesh:
+    """Mesh over all local devices; data axis fills what model doesn't use."""
+    n = len(jax.devices())
+    if data == -1:
+        if n % model:
+            raise ValueError(f"{n} devices not divisible by model={model}")
+        data = n // model
+    return build_mesh((data, model))

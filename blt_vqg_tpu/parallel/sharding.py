@@ -1,0 +1,86 @@
+"""Sharding rules: parameter and batch PartitionSpecs.
+
+Design (scaling-book recipe): pick a mesh, annotate shardings on the inputs
+and params of one jitted train step, and let XLA insert the collectives.
+
+- Batch tensors shard their leading dim over ``data``.
+- With ``model`` > 1, the transformer is tensor-parallel in the Megatron
+  pattern: QKV / FFN-in projections split their *output* features over
+  ``model`` (parallel heads / parallel FFN columns), output / FFN-out
+  projections split their *input* features, so each block needs exactly one
+  psum (emitted automatically by XLA from these specs) on its way out.
+- Everything else (norms, biases, embeddings, small latent MLPs) is
+  replicated — they are tiny relative to ICI bandwidth.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Tuple
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# (regex over '/'-joined param path, spec) — first match wins.
+# Kernel shapes are (in_features, out_features) per flax convention.
+_RULES: Tuple[Tuple[str, P], ...] = (
+    # attention projections: q/k/v split heads over 'model'; out merges them
+    (r"(q_proj|k_proj|v_proj)/kernel$", P(None, "model")),
+    (r"out_proj/kernel$",               P("model", None)),
+    # positionwise FFN: column-parallel in, row-parallel out
+    (r"ffn_in/kernel$",                 P(None, "model")),
+    (r"ffn_out/kernel$",                P("model", None)),
+    # output vocab projection: split vocab over 'model'
+    (r"(output_proj|z_classifier)/kernel$", P(None, "model")),
+    # everything else replicated
+    (r".*", P()),
+)
+
+
+def _path_str(path) -> str:
+    parts = []
+    for p in path:
+        if hasattr(p, "key"):
+            parts.append(str(p.key))
+        elif hasattr(p, "idx"):
+            parts.append(str(p.idx))
+        else:
+            parts.append(str(p))
+    return "/".join(parts)
+
+
+def spec_for_param(path_str: str, ndim: int) -> P:
+    for pattern, spec in _RULES:
+        if re.search(pattern, path_str):
+            if len(spec) > ndim:  # e.g. biases under an ffn_in scope
+                return P()
+            return spec
+    return P()
+
+
+def param_sharding_rules(params: Any, mesh: Mesh) -> Any:
+    """Pytree of NamedShardings matching ``params``' structure."""
+    def leaf(path, x):
+        return NamedSharding(mesh, spec_for_param(_path_str(path), x.ndim))
+    return jax.tree_util.tree_map_with_path(leaf, params)
+
+
+def shard_params(params: Any, mesh: Mesh) -> Any:
+    """Places ``params`` on the mesh according to the rules."""
+    shardings = param_sharding_rules(params, mesh)
+    return jax.tree.map(jax.device_put, params, shardings)
+
+
+def batch_sharding(mesh: Mesh, ndim: int = 2) -> NamedSharding:
+    """Leading-axis data sharding for a batch tensor of rank ``ndim``."""
+    return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
+
+
+def shard_batch(batch: Any, mesh: Mesh) -> Any:
+    return jax.tree.map(
+        lambda x: jax.device_put(x, batch_sharding(mesh, x.ndim)), batch)
+
+
+def replicate(tree: Any, mesh: Mesh) -> Any:
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)

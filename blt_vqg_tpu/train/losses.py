@@ -1,0 +1,91 @@
+"""Loss assembly (reference train_iq.py:81-103 semantics, fully in-graph).
+
+Phase 1 (pretrain):   loss = rec + image_recon_lambda · img
+Phase 2 (latent):     loss = rec + kl_ceiling · kl_weight(kliter) · kld
+                             + aux_ceiling · aux + image_recon_lambda · img
+where rec is token cross-entropy ignoring <pad>, img is MSE between CNN
+features and their reconstruction, aux is the z-classifier's CE broadcast
+across all timesteps (reference train_iq.py:92-94), and kl_weight is the
+tanh anneal ``min(tanh(6·kliter/full_kl_step − 3) + 1, 1)`` (reference
+train_iq.py:96-97).  Perplexity is exp(min(rec, 100)).
+
+Everything is a jnp expression of traced values — no .item() host syncs in
+the step (the reference pulls 5 scalars to host every step).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+import optax
+
+PAD_ID = 0
+
+
+class LossOutputs(NamedTuple):
+    loss: jnp.ndarray
+    rec: jnp.ndarray
+    img: jnp.ndarray
+    ppl: jnp.ndarray
+    kld: jnp.ndarray
+    aux: jnp.ndarray
+    elbo: jnp.ndarray
+
+    def as_dict(self):
+        return self._asdict()
+
+
+def masked_token_ce(logits: jnp.ndarray, targets: jnp.ndarray,
+                    pad_id: int = PAD_ID) -> jnp.ndarray:
+    """Mean cross-entropy over non-pad target tokens
+    (reference nn.CrossEntropyLoss(ignore_index=pad), train_iq.py:54-55)."""
+    logits = logits.astype(jnp.float32)
+    ce = optax.softmax_cross_entropy_with_integer_labels(logits, targets)
+    mask = (targets != pad_id).astype(jnp.float32)
+    return jnp.sum(ce * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
+def kl_weight_schedule(kliter: jnp.ndarray, full_kl_step: int) -> jnp.ndarray:
+    """tanh KL anneal (reference train_iq.py:96-97)."""
+    w = jnp.tanh(6.0 * kliter.astype(jnp.float32) / full_kl_step - 3.0) + 1.0
+    return jnp.minimum(w, 1.0)
+
+
+def compute_losses(
+    logits: jnp.ndarray,                 # [B, T, V] f32
+    targets: jnp.ndarray,                # [B, T] int
+    image_recon: tuple,                  # (feat [B,H], recon [B,H])
+    kld: jnp.ndarray,                    # scalar
+    z_logit: Optional[jnp.ndarray],      # [B, V] or None (pretrain)
+    kliter: jnp.ndarray,                 # scalar int — latent-phase step count
+    latent_mode: bool,                   # static
+    kl_ceiling: float,
+    aux_ceiling: float,
+    image_recon_lambda: float,
+    full_kl_step: int,
+) -> LossOutputs:
+    rec = masked_token_ce(logits, targets)
+    feat, recon = image_recon
+    img = jnp.mean(jnp.square(feat.astype(jnp.float32) -
+                              recon.astype(jnp.float32)))
+    ppl = jnp.exp(jnp.minimum(rec, 100.0))
+
+    if not latent_mode:
+        zero = jnp.zeros((), jnp.float32)
+        loss = rec + image_recon_lambda * img
+        return LossOutputs(loss=loss, rec=rec, img=img, ppl=ppl,
+                           kld=zero, aux=zero, elbo=rec)
+
+    # z-classifier CE broadcast across timesteps (reference train_iq.py:92-94)
+    t = logits.shape[1]
+    z_rep = jnp.broadcast_to(z_logit[:, None, :],
+                             (z_logit.shape[0], t, z_logit.shape[1]))
+    aux = masked_token_ce(z_rep, targets)
+
+    kl_w = kl_weight_schedule(kliter, full_kl_step)
+    elbo = rec + kld
+    loss = (rec + kl_ceiling * kl_w * kld + aux_ceiling * aux
+            + image_recon_lambda * img)
+    return LossOutputs(loss=loss, rec=rec, img=img, ppl=ppl,
+                       kld=kld, aux=aux, elbo=elbo)

@@ -1,0 +1,97 @@
+"""Train state: one pytree carrying params, batch stats, optimizer state,
+step counters, and the KL-anneal counter.
+
+The optimizer is Adam + global-norm clip 5 (reference train_iq.py:259-261,
+372) on the Noam schedule (train/schedule.py), with the frozen ResNet
+backbone excluded by a path mask — the TPU-native equivalent of the
+reference's ``requires_grad=False`` freeze (reference encoder_cnn.py:18-19).
+
+The two-phase switch (reference train_iq.py:105-111): ``kliter`` counts
+latent-phase steps for the KL anneal, and ``reset_optimizer`` re-initializes
+Adam moments at the phase boundary — the reference *intends* this restart
+(its ``configure_optimizers()`` call at the boundary; SURVEY.md §2.7 notes
+the returned optimizer is never installed — an acknowledged quirk we
+implement by intent, not by bug).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from blt_vqg_tpu.core.config import Config
+from blt_vqg_tpu.train.schedule import noam_schedule
+
+
+def _is_frozen_path(path) -> bool:
+    """The CNN backbone is frozen; only its fc head + feature BN train."""
+    keys = [getattr(p, "key", None) for p in path]
+    return "encoder_cnn" in keys and "backbone" in keys
+
+
+def make_optimizer(cfg: Config, params: Any) -> optax.GradientTransformation:
+    label = jax.tree_util.tree_map_with_path(
+        lambda path, _: "frozen" if _is_frozen_path(path) else "train", params)
+    trainable = optax.chain(
+        optax.clip_by_global_norm(cfg.grad_clip),
+        optax.adam(noam_schedule(cfg.hidden_dim, cfg.warmup_steps)),
+    )
+    return optax.multi_transform(
+        {"train": trainable, "frozen": optax.set_to_zero()}, label)
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    kliter: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    apply_fn: Callable = struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads: Any, new_batch_stats: Optional[Any] = None,
+                        kliter_inc: int = 0) -> "TrainState":
+        updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
+        new_params = optax.apply_updates(self.params, updates)
+        return self.replace(
+            step=self.step + 1,
+            kliter=self.kliter + kliter_inc,
+            params=new_params,
+            batch_stats=(new_batch_stats if new_batch_stats is not None
+                         else self.batch_stats),
+            opt_state=new_opt_state,
+        )
+
+    def reset_optimizer(self) -> "TrainState":
+        """Adam restart at the pretrain→latent phase boundary."""
+        return self.replace(opt_state=self.tx.init(self.params))
+
+
+def create_train_state(cfg: Config, model, rng: jax.Array,
+                       sample_batch: dict) -> TrainState:
+    """Initializes params (through the FULL latent path so both phases share
+    one pytree) and the optimizer."""
+    init_rngs = {"params": rng,
+                 "latent": jax.random.fold_in(rng, 1),
+                 "dropout": jax.random.fold_in(rng, 2)}
+    variables = model.init(
+        init_rngs,
+        sample_batch["images"], sample_batch["context"],
+        sample_batch["posterior"], sample_batch["target"],
+        latent_mode=True, train=False)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    tx = make_optimizer(cfg, params)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        kliter=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        tx=tx,
+        apply_fn=model.apply,
+    )

@@ -1,0 +1,117 @@
+"""The jitted train/eval steps.
+
+One compiled program per phase (``latent_mode`` is static — reference
+mutates ``self.latent_transformer`` mid-training instead, train_iq.py:108-111).
+The step is pure: (state, batch, rng) → (state, metrics); the harness
+donates ``state`` so parameters/optimizer state update in-place in HBM.
+
+Sharding: the caller passes a Mesh; batch arrays shard their leading axis
+over ``data``, params follow parallel/sharding.py rules, and XLA inserts the
+gradient all-reduce (and any TP collectives) over ICI automatically.
+
+Batch contract (canonical keys mapped from the reference's 8-key collate
+dict, reference data_loader.py:175):
+  images    [B, H, W, 3] float32 (already augmented/normalized on device)
+  context   [B, Tc] int32 — answers or category tokens per ``input_mode``
+  posterior [B, Tp] int32
+  target    [B, Tq] int32 — the question
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from blt_vqg_tpu.core.config import Config
+from blt_vqg_tpu.train.losses import compute_losses
+from blt_vqg_tpu.train.state import TrainState
+
+
+def _loss_fn(params, state: TrainState, batch: Dict[str, jnp.ndarray],
+             rng: jax.Array, cfg: Config, latent_mode: bool):
+    rngs = {"latent": jax.random.fold_in(rng, 0),
+            "dropout": jax.random.fold_in(rng, 1)}
+    (logits, z_logit, kld, image_recon), updates = state.apply_fn(
+        {"params": params, "batch_stats": state.batch_stats},
+        batch["images"], batch["context"], batch["posterior"], batch["target"],
+        latent_mode=latent_mode, train=True,
+        rngs=rngs, mutable=["batch_stats"])
+    out = compute_losses(
+        logits, batch["target"], image_recon, kld, z_logit,
+        kliter=state.kliter, latent_mode=latent_mode,
+        kl_ceiling=cfg.kl_ceiling, aux_ceiling=cfg.aux_ceiling,
+        image_recon_lambda=cfg.image_recon_lambda,
+        full_kl_step=cfg.full_kl_step)
+    return out.loss, (out, updates["batch_stats"])
+
+
+def make_train_step(cfg: Config, latent_mode: bool,
+                    mesh: Optional[Mesh] = None) -> Callable:
+    """Returns jitted ``step(state, batch, rng) -> (state, metrics)``."""
+
+    def step(state: TrainState, batch: Dict[str, jnp.ndarray],
+             rng: jax.Array) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        grad_fn = jax.value_and_grad(_loss_fn, has_aux=True)
+        (_, (out, new_stats)), grads = grad_fn(
+            state.params, state, batch, rng, cfg, latent_mode)
+        state = state.apply_gradients(
+            grads, new_batch_stats=new_stats,
+            kliter_inc=1 if latent_mode else 0)
+        metrics = dict(out.as_dict())
+        metrics["grad_norm"] = optax_global_norm(grads)
+        return state, metrics
+
+    kw: Dict[str, Any] = dict(donate_argnums=(0,))
+    if mesh is not None:
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P("data"))
+        kw["out_shardings"] = (None, repl)
+        del data  # batch sharding is applied by the data pipeline device_put
+    return jax.jit(step, **kw)
+
+
+def make_eval_step(cfg: Config, latent_mode: bool,
+                   mesh: Optional[Mesh] = None) -> Callable:
+    """Validation forward: same losses, no grad, batch stats frozen."""
+
+    def step(state: TrainState, batch: Dict[str, jnp.ndarray],
+             rng: jax.Array) -> Dict[str, jnp.ndarray]:
+        rngs = {"latent": jax.random.fold_in(rng, 0)}
+        logits, z_logit, kld, image_recon = state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["images"], batch["context"], batch["posterior"],
+            batch["target"], latent_mode=latent_mode, train=False, rngs=rngs)
+        out = compute_losses(
+            logits, batch["target"], image_recon, kld, z_logit,
+            kliter=state.kliter, latent_mode=latent_mode,
+            kl_ceiling=cfg.kl_ceiling, aux_ceiling=cfg.aux_ceiling,
+            image_recon_lambda=cfg.image_recon_lambda,
+            full_kl_step=cfg.full_kl_step)
+        return dict(out.as_dict())
+
+    return jax.jit(step)
+
+
+def make_decode_step(cfg: Config, model, latent_mode: bool) -> Callable:
+    """Jitted greedy decode: (state, images, context, rng) -> dict."""
+
+    @functools.partial(jax.jit, static_argnums=())
+    def step(state: TrainState, images, context, rng):
+        return model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            images, context, max_decode_length=cfg.max_decode_length,
+            latent_mode=latent_mode,
+            method=type(model).decode_greedy,
+            rngs={"latent": rng})
+
+    return step
+
+
+def optax_global_norm(tree) -> jnp.ndarray:
+    leaves = jax.tree_util.tree_leaves(tree)
+    return jnp.sqrt(sum(jnp.sum(jnp.square(x.astype(jnp.float32)))
+                        for x in leaves))
