@@ -1,0 +1,260 @@
+"""Benchmark: steady-state training throughput of the flagship IQ config.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "samples/sec", "vs_baseline": N, ...}
+
+- Measures the jitted latent-phase train step (fwd+bwd+Adam, ResNet included)
+  on the available accelerator, run.sh "big" config (hidden/latent 1024,
+  pwffn 2048, 6 layers, 8 heads, batch 64, reference run.sh:1-10).
+- ``vs_baseline`` compares against the reference stack (PyTorch, equivalent
+  architecture from torch.nn primitives) executed on this host's CPU — the
+  only hardware the reference stack can run on here; the result is cached in
+  benchmarks/torch_baseline.json so repeat runs don't re-measure.
+  (The reference repo publishes no numbers of its own — BASELINE.md.)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+BASELINE_CACHE = os.path.join(REPO, "benchmarks", "torch_baseline.json")
+
+BATCH = 64
+IMAGE = 224
+WARMUP = 3
+TIMED = 20
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def _flagship_cfg():
+    from blt_vqg_tpu.core.config import Config
+    return Config(
+        emb_dim=300, hidden_dim=1024, latent_dim=1024, pwffn_dim=2048,
+        num_layers=6, num_heads=8, batch_size=BATCH, input_mode="cat",
+        dtype="bfloat16", image_size=IMAGE)
+
+
+def bench_jax() -> dict:
+    import jax
+    from __graft_entry__ import _example_batch
+    from blt_vqg_tpu.models.iq import IQ
+    from blt_vqg_tpu.train.state import create_train_state
+    from blt_vqg_tpu.train.step import make_train_step, make_decode_step
+
+    cfg = _flagship_cfg()
+    vocab_size = 12000  # typical VQA vocab scale
+    model = IQ(cfg, vocab_size)
+    batch = _example_batch(cfg, vocab_size, BATCH)
+    batch = {k: jax.device_put(v) for k, v in batch.items()}
+
+    log("jax: init params ...")
+    state = create_train_state(cfg, model, jax.random.key(0), batch)
+    step = make_train_step(cfg, latent_mode=True)
+
+    log("jax: compiling train step ...")
+    t0 = time.time()
+    state, m = step(state, batch, jax.random.key(1))
+    jax.block_until_ready(m["loss"])
+    compile_s = time.time() - t0
+    for i in range(WARMUP):
+        state, m = step(state, batch, jax.random.key(i))
+    jax.block_until_ready(m["loss"])
+
+    t0 = time.time()
+    for i in range(TIMED):
+        state, m = step(state, batch, jax.random.key(i))
+    jax.block_until_ready(m["loss"])
+    dt = time.time() - t0
+    train_sps = BATCH * TIMED / dt
+
+    # greedy decode throughput (batch questions/sec)
+    dec = make_decode_step(cfg, model, latent_mode=True)
+    out = dec(state, batch["images"], batch["context"], jax.random.key(2))
+    jax.block_until_ready(out["tokens"])
+    t0 = time.time()
+    for i in range(5):
+        out = dec(state, batch["images"], batch["context"], jax.random.key(i))
+    jax.block_until_ready(out["tokens"])
+    decode_qps = BATCH * 5 / (time.time() - t0)
+
+    platform = jax.devices()[0].platform
+    log(f"jax[{platform}]: {train_sps:.1f} samples/s train, "
+        f"{decode_qps:.1f} q/s decode, compile {compile_s:.1f}s")
+    return {"train_sps": train_sps, "decode_qps": decode_qps,
+            "platform": platform, "compile_s": compile_s,
+            "step_ms": 1000 * dt / TIMED}
+
+
+def bench_torch_reference() -> float:
+    """Reference-stack (PyTorch) throughput on this host, equivalent model."""
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            return json.load(f)["train_sps"]
+
+    import torch
+    import torch.nn as nn
+
+    torch.set_num_threads(os.cpu_count() or 8)
+    H, L, FF, NH, NL, V = 1024, 1024, 2048, 8, 6, 12000
+
+    def resnet18_torch():
+        """ResNet-18 from torch.nn (torchvision is not in this image)."""
+        def block(cin, cout, stride):
+            down = (nn.Sequential(nn.Conv2d(cin, cout, 1, stride, bias=False),
+                                  nn.BatchNorm2d(cout))
+                    if stride != 1 or cin != cout else nn.Identity())
+            return nn.ModuleDict({
+                "conv1": nn.Conv2d(cin, cout, 3, stride, 1, bias=False),
+                "bn1": nn.BatchNorm2d(cout),
+                "conv2": nn.Conv2d(cout, cout, 3, 1, 1, bias=False),
+                "bn2": nn.BatchNorm2d(cout), "down": down})
+
+        class ResNet18(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.stem = nn.Sequential(
+                    nn.Conv2d(3, 64, 7, 2, 3, bias=False),
+                    nn.BatchNorm2d(64), nn.ReLU(), nn.MaxPool2d(3, 2, 1))
+                chans = [(64, 64, 1), (64, 128, 2), (128, 256, 2),
+                         (256, 512, 2)]
+                self.blocks = nn.ModuleList()
+                for cin, cout, s in chans:
+                    self.blocks.append(block(cin, cout, s))
+                    self.blocks.append(block(cout, cout, 1))
+                self.fc = nn.Linear(512, H)
+
+            def forward(self, x):
+                x = self.stem(x)
+                relu = nn.functional.relu
+                for b in self.blocks:
+                    y = relu(b["bn1"](b["conv1"](x)))
+                    y = b["bn2"](b["conv2"](y))
+                    x = relu(y + b["down"](x))
+                return self.fc(x.mean(dim=(2, 3)))
+        return ResNet18()
+
+    class RefEquivalent(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.cnn = resnet18_torch()
+            for name, p in self.cnn.named_parameters():
+                if not name.startswith("fc"):
+                    p.requires_grad = False
+            self.bn = nn.BatchNorm1d(H, momentum=0.01)
+            self.embed = nn.Embedding(V, 300)
+            self.proj = nn.Linear(300, H)
+            enc_layer = nn.TransformerEncoderLayer(
+                H, NH, FF, batch_first=True, norm_first=True)
+            self.encoder = nn.TransformerEncoder(enc_layer, NL)
+            self.r_encoder = nn.TransformerEncoder(enc_layer, NL)
+            dec_layer = nn.TransformerDecoderLayer(
+                H, NH, FF, batch_first=True, norm_first=True)
+            self.decoder = nn.TransformerDecoder(dec_layer, NL)
+            self.prior = nn.Sequential(
+                nn.Linear(H, 2 * L), nn.ReLU(), nn.Linear(2 * L, 2 * L),
+                nn.ReLU(), nn.Linear(2 * L, 2 * L))
+            self.posterior = nn.Sequential(
+                nn.Linear(2 * H, 2 * L), nn.ReLU(), nn.Linear(2 * L, 2 * L),
+                nn.ReLU(), nn.Linear(2 * L, 2 * L))
+            self.zproj = nn.Linear(L, H)
+            self.out = nn.Linear(H, V)
+            self.zcls = nn.Linear(H, V)
+            self.recon = nn.Sequential(
+                nn.Linear(H, FF), nn.ReLU(), nn.Linear(FF, H))
+
+        def forward(self, img, ctx, post, tgt):
+            feat = self.bn(self.cnn(img))
+            e = self.encoder(self.proj(self.embed(ctx)))
+            e = torch.cat([(e[:, 0] + feat).unsqueeze(1), e[:, 1:]], 1)
+            r = self.r_encoder(self.proj(self.embed(post)))
+            ml_p = self.prior(e[:, 0])
+            ml_q = self.posterior(torch.cat([r[:, 0], e[:, 0]], -1))
+            mq, lq = ml_q[:, :L], ml_q[:, L:]
+            mp, lp = ml_p[:, :L], ml_p[:, L:]
+            z = torch.randn_like(mq) * torch.exp(0.5 * lq) + mq
+            kld = (-0.5 * (1 + lq - lp - (mp - mq) ** 2 / lp.exp()
+                           - lq.exp() / lp.exp()).sum(-1)).mean()
+            zp = self.zproj(z)
+            t = self.proj(self.embed(tgt))
+            t = torch.cat([(t[:, 0] + feat + zp).unsqueeze(1), t[:, 1:]], 1)
+            mask = nn.Transformer.generate_square_subsequent_mask(t.size(1))
+            d = self.decoder(t, e, tgt_mask=mask)
+            logits = self.out(d)
+            aux = self.zcls(zp + feat)
+            rec_img = self.recon(e[:, 0] + zp)
+            return logits, aux, kld, feat, rec_img
+
+    model = RefEquivalent()
+    opt = torch.optim.Adam(
+        [p for p in model.parameters() if p.requires_grad], lr=3e-5)
+    ce = nn.CrossEntropyLoss(ignore_index=0)
+    mse = nn.MSELoss()
+    rng = np.random.RandomState(0)
+    # CPU torch is slow on batch 64 — measure a smaller batch, report /sample
+    tb = 16
+    img = torch.from_numpy(rng.rand(tb, 3, IMAGE, IMAGE).astype(np.float32))
+    ctx = torch.from_numpy(rng.randint(1, V, (tb, 3)).astype(np.int64))
+    post = torch.from_numpy(rng.randint(1, V, (tb, 21)).astype(np.int64))
+    tgt = torch.from_numpy(rng.randint(1, V, (tb, 20)).astype(np.int64))
+
+    def step():
+        opt.zero_grad()
+        logits, aux, kld, feat, rec_img = model(img, ctx, post, tgt)
+        loss = (ce(logits.reshape(-1, V), tgt.reshape(-1))
+                + 0.5 * kld
+                + ce(aux.unsqueeze(1).expand(-1, tgt.size(1), -1)
+                     .reshape(-1, V), tgt.reshape(-1))
+                + 0.1 * mse(rec_img, feat.detach()))
+        loss.backward()
+        torch.nn.utils.clip_grad_norm_(model.parameters(), 5.0)
+        opt.step()
+
+    log("torch-cpu: warmup ...")
+    step()
+    n = 3
+    t0 = time.time()
+    for _ in range(n):
+        step()
+    sps = tb * n / (time.time() - t0)
+    log(f"torch-cpu: {sps:.2f} samples/s")
+    os.makedirs(os.path.dirname(BASELINE_CACHE), exist_ok=True)
+    with open(BASELINE_CACHE, "w") as f:
+        json.dump({"train_sps": sps, "batch": tb, "threads":
+                   torch.get_num_threads()}, f)
+    return sps
+
+
+def main():
+    jx = bench_jax()
+    try:
+        baseline_sps = bench_torch_reference()
+    except Exception as e:  # keep the primary metric even if torch fails
+        log("torch baseline failed:", e)
+        baseline_sps = None
+    vs = (jx["train_sps"] / baseline_sps) if baseline_sps else 1.0
+    print(json.dumps({
+        "metric": "iq_big_train_samples_per_sec",
+        "value": round(jx["train_sps"], 2),
+        "unit": "samples/sec",
+        "vs_baseline": round(vs, 2),
+        "baseline": "reference-equivalent PyTorch on host CPU (samples/sec)",
+        "baseline_value": round(baseline_sps, 2) if baseline_sps else None,
+        "platform": jx["platform"],
+        "step_ms": round(jx["step_ms"], 2),
+        "decode_questions_per_sec": round(jx["decode_qps"], 2),
+        "compile_s": round(jx["compile_s"], 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,107 @@
+"""Standalone evaluation (working version of the reference's intended
+evaluate_iq.py semantics — the reference script is stale/crashing,
+SURVEY.md §2.7; its *intent* per evaluate_iq.py:150-156 is implemented:
+reload args.json from the model dir, greedy-decode the eval set from answers
+or categories, score with NLG metrics, dump results.json/preds.json/gts.json).
+
+    python -m blt_vqg_tpu.cli.evaluate_iq --model-dir runs/default \
+        [--from-answer | --from-category] [--dataset ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import sys
+
+import numpy as np
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model-dir", type=str, required=True,
+                        help="directory with args.json + checkpoints/")
+    parser.add_argument("--dataset", type=str, default=None,
+                        help="override the eval hdf5 (default: cfg.val_dataset)")
+    parser.add_argument("--from-category", action="store_true",
+                        help="condition on the category token instead of the answer")
+    parser.add_argument("--max-batches", type=int, default=None)
+    parser.add_argument("--step", type=int, default=None,
+                        help="checkpoint step (default: latest)")
+    parser.add_argument("--results-dir", type=str, default=None)
+    args = parser.parse_args(argv)
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s %(message)s")
+    log = logging.getLogger("evaluate_iq")
+
+    from blt_vqg_tpu.core.checkpoint import CheckpointManager
+    from blt_vqg_tpu.core.config import Config
+    from blt_vqg_tpu.data.dataset import IQDataset
+    from blt_vqg_tpu.data.loader import make_loader
+    from blt_vqg_tpu.train.trainer import Trainer, filter_special_tokens
+    from blt_vqg_tpu.text.vocabulary import load_vocab
+
+    cfg = Config.load(os.path.join(args.model_dir, "args.json"))
+    vocab = load_vocab(cfg.vocab)
+    dataset = args.dataset or cfg.val_dataset
+    cat2name = cfg.cat2name if os.path.exists(cfg.cat2name) else None
+    ds = IQDataset(dataset, vocab, cat2name)
+    loader = make_loader(ds, cfg.batch_size, cfg.input_mode, shuffle=False,
+                         epochs=1)
+
+    trainer = Trainer(cfg, vocab)
+    ckpt = CheckpointManager(os.path.join(args.model_dir, "checkpoints"))
+    first = next(iter(loader))
+    state = trainer.init_state(
+        {k: first[k] for k in ("images", "context", "posterior", "target")},
+        resume=False)
+    state = ckpt.restore(state, step=args.step)
+    latent = int(state.step) >= cfg.num_pretraining_steps
+    log.info("evaluating checkpoint step %d (latent=%s)", int(state.step),
+             latent)
+
+    preds, gts = [], []
+    idx2word = vocab.idx2word
+    for bi, batch in enumerate(loader):
+        if args.max_batches and bi >= args.max_batches:
+            break
+        images = trainer.augment_eval(batch["images"], trainer.rngs.key(0))
+        if args.from_category:
+            context = np.asarray(batch["answer_types"])[:, None].astype(np.int32)
+        else:
+            context = np.asarray(batch["context"])
+        out = trainer._decode_steps[latent](
+            state, images, context, trainer.rngs.key(bi))
+        for i, row in enumerate(np.asarray(out["tokens"])):
+            words = []
+            for t in row:
+                w = idx2word.get(int(t), "<unk>")
+                if w == "<end>":
+                    break
+                words.append(w)
+            preds.append(" ".join(filter_special_tokens(words)))
+            gts.append(" ".join(filter_special_tokens(
+                [idx2word.get(int(w), "<unk>")
+                 for w in np.asarray(batch["target"])[i]])))
+        log.info("decoded %d questions", len(preds))
+
+    scores = trainer.nlge.compute_metrics(ref_list=[gts], hyp_list=preds)
+    for k, v in scores.items():
+        log.info("%s\t%.4f", k, v * 100)
+
+    results_dir = args.results_dir or args.model_dir
+    os.makedirs(results_dir, exist_ok=True)
+    with open(os.path.join(results_dir, "results.json"), "w") as f:
+        json.dump(scores, f, indent=2)
+    with open(os.path.join(results_dir, "preds.json"), "w") as f:
+        json.dump(preds, f)
+    with open(os.path.join(results_dir, "gts.json"), "w") as f:
+        json.dump(gts, f)
+    log.info("wrote results/preds/gts to %s", results_dir)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -78,11 +78,18 @@ def create_train_state(cfg: Config, model, rng: jax.Array,
     init_rngs = {"params": rng,
                  "latent": jax.random.fold_in(rng, 1),
                  "dropout": jax.random.fold_in(rng, 2)}
-    variables = model.init(
+
+    # jit the init: eager init dispatches thousands of tiny ops (very slow
+    # over a tunneled TPU); compiled init materializes params in one program
+    @jax.jit
+    def _init(rngs, images, context, posterior, target):
+        return model.init(rngs, images, context, posterior, target,
+                          latent_mode=True, train=False)
+
+    variables = _init(
         init_rngs,
         sample_batch["images"], sample_batch["context"],
-        sample_batch["posterior"], sample_batch["target"],
-        latent_mode=True, train=False)
+        sample_batch["posterior"], sample_batch["target"])
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     tx = make_optimizer(cfg, params)

@@ -1,0 +1,242 @@
+"""Training harness: the TPU-native counterpart of the reference's TrainIQ
+LightningModule + pl.Trainer (reference train_iq.py:28-261, 372-374).
+
+Responsibilities and their reference counterparts:
+- two-phase schedule with optimizer restart at the boundary (train_iq.py:105-111)
+- jitted train step per phase; val every ``val_check_interval`` steps capped
+  at ``limit_val_batches`` (train_iq.py:372-373)
+- validation-end report: greedy decode of one batch, 10 printed samples with
+  per-token top-6 probabilities, NLG metrics ×100, running val-metric means
+  (train_iq.py:159-206)
+- step checkpoints every ``checkpoint_every`` steps (train_iq.py:275-309)
+- metric logging with the reference scalar names (core/metrics.py)
+- optional per-step profiler traces (jax.profiler) — the reference has none
+  (SURVEY.md §5)
+
+Everything stochastic threads explicit keys from one RngStream; the loop
+never blocks on device→host transfers except at logging boundaries.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Dict, Iterator, Optional
+
+import jax
+import numpy as np
+
+from blt_vqg_tpu.core.checkpoint import CheckpointManager
+from blt_vqg_tpu.core.config import Config
+from blt_vqg_tpu.core.metrics import MetricWriter
+from blt_vqg_tpu.core.rng import RngStream
+from blt_vqg_tpu.data.augment import make_augment_fn
+from blt_vqg_tpu.models.iq import IQ
+from blt_vqg_tpu.parallel.sharding import replicate, shard_params
+from blt_vqg_tpu.train.nlg_metrics import NLGEval
+from blt_vqg_tpu.train.state import create_train_state
+from blt_vqg_tpu.train.step import (
+    make_decode_step, make_eval_step, make_train_step)
+
+log = logging.getLogger(__name__)
+
+SPECIAL_TOKENS = ("<start>", "<end>", "<pad>")
+
+
+def filter_special_tokens(tokens):
+    """(reference train_iq.py:208-214)"""
+    return [t for t in tokens if t not in SPECIAL_TOKENS]
+
+
+class Trainer:
+    def __init__(self, cfg: Config, vocab, mesh=None,
+                 profile_dir: Optional[str] = None):
+        self.cfg = cfg
+        self.vocab = vocab
+        self.mesh = mesh
+        self.model = IQ(cfg, len(vocab))
+        self.rngs = RngStream(cfg.seed)
+        self.nlge = NLGEval(no_glove=True, no_skipthoughts=True)
+        self.writer = MetricWriter(cfg.output_dir)
+        self.ckpt = CheckpointManager(
+            os.path.join(cfg.output_dir, "checkpoints"))
+        self.profile_dir = profile_dir
+        self.augment_train = make_augment_fn(cfg.image_size, train=True)
+        self.augment_eval = make_augment_fn(cfg.image_size, train=False)
+
+        self._train_steps = {
+            False: make_train_step(cfg, latent_mode=False, mesh=mesh),
+            True: make_train_step(cfg, latent_mode=True, mesh=mesh),
+        }
+        self._eval_steps = {
+            False: make_eval_step(cfg, latent_mode=False, mesh=mesh),
+            True: make_eval_step(cfg, latent_mode=True, mesh=mesh),
+        }
+        self._decode_steps = {
+            False: make_decode_step(cfg, self.model, latent_mode=False),
+            True: make_decode_step(cfg, self.model, latent_mode=True),
+        }
+        # reference hp string (train_iq.py:35-37)
+        self.hp_string = "{}_{}_{}_{}_{}_{}_{}_{}_{}_{}. {}".format(
+            cfg.input_mode, cfg.emb_dim, "True", cfg.hidden_dim,
+            cfg.latent_dim, cfg.pwffn_dim, cfg.num_layers, cfg.num_heads,
+            cfg.lr, cfg.batch_size, cfg.print_note)
+
+    # ------------------------------------------------------------------
+    def init_state(self, sample_batch: Dict, glove_table=None, resume=True):
+        sample_batch = dict(sample_batch)
+        sample_batch["images"] = self.augment_eval(
+            sample_batch["images"], self.rngs.key(0))
+        state = create_train_state(
+            self.cfg, self.model, jax.random.key(self.cfg.seed), sample_batch)
+        if glove_table is not None:
+            from blt_vqg_tpu.models.iq import apply_glove_table
+            state = state.replace(
+                params=apply_glove_table(state.params, glove_table))
+        if resume and self.ckpt.latest_step() is not None:
+            state = self.ckpt.restore(state)
+            log.info("resumed from step %d", int(state.step))
+        if self.mesh is not None:
+            state = state.replace(
+                params=shard_params(state.params, self.mesh),
+                batch_stats=replicate(state.batch_stats, self.mesh),
+                opt_state=replicate(state.opt_state, self.mesh))
+        return state
+
+    def _model_batch(self, batch: Dict, step: int, train: bool) -> Dict:
+        aug = self.augment_train if train else self.augment_eval
+        out = {k: batch[k] for k in ("context", "posterior", "target")}
+        out["images"] = aug(batch["images"], self.rngs.key(1_000_000 + step))
+        return out
+
+    # ------------------------------------------------------------------
+    def fit(self, state, train_iter: Iterator, val_iter_factory,
+            max_steps: Optional[int] = None) -> "TrainState":
+        cfg = self.cfg
+        max_steps = max_steps or cfg.total_training_steps
+        step = int(state.step)
+        latent = step >= cfg.num_pretraining_steps
+        t_last = time.time()
+        log_every = 50
+
+        if self.profile_dir:
+            jax.profiler.start_trace(self.profile_dir)
+        try:
+            while step < max_steps:
+                if not latent and step >= cfg.num_pretraining_steps:
+                    latent = True
+                    state = state.reset_optimizer()
+                    log.info("phase switch at step %d: latent ON, Adam reset",
+                             step)
+
+                batch = next(train_iter)
+                mb = self._model_batch(batch, step, train=True)
+                state, metrics = self._train_steps[latent](
+                    state, mb, self.rngs.key(step))
+
+                if (step + 1) % log_every == 0:
+                    host = {k: float(v) for k, v in metrics.items()}
+                    dt = time.time() - t_last
+                    sps = log_every * cfg.batch_size / dt
+                    t_last = time.time()
+                    self.writer.write(step + 1, host, prefix="train")
+                    log.info(
+                        "step %d loss %.4f rec %.4f kld %.4f ppl %.1f "
+                        "(%.1f samples/s)", step + 1, host["loss"],
+                        host["rec"], host["kld"], host["ppl"], sps)
+
+                step += 1
+                if step % cfg.val_check_interval == 0:
+                    self.validate(state, val_iter_factory(), latent, step)
+                if step % cfg.checkpoint_every == 0:
+                    self.ckpt.save(state, self.cfg)
+        finally:
+            if self.profile_dir:
+                jax.profiler.stop_trace()
+        self.ckpt.save(state, self.cfg)
+        return state
+
+    # ------------------------------------------------------------------
+    def validate(self, state, val_iter, latent: bool, step: int,
+                 print_samples: int = 10) -> Dict[str, float]:
+        cfg = self.cfg
+        sums: Dict[str, float] = {}
+        count = 0
+        first_batch = None
+        for i, batch in enumerate(val_iter):
+            if i >= cfg.limit_val_batches:
+                break
+            if first_batch is None:
+                first_batch = batch
+            mb = self._model_batch(batch, step + i, train=False)
+            metrics = self._eval_steps[latent](
+                state, mb, self.rngs.key(2_000_000 + step + i))
+            for k, v in metrics.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+            count += 1
+        means = {k: v / max(count, 1) for k, v in sums.items()}
+        self.writer.write(step, means, prefix="val")
+
+        # --- greedy decode report on the first val batch
+        scores = {}
+        if first_batch is not None:
+            scores = self.decode_report(state, first_batch, latent, step,
+                                        print_samples)
+        print("##### validation @ step", step, "#####")
+        for k, v in means.items():
+            print(k, "\t", np.round(v, 4))
+        for k, v in scores.items():
+            print(k, "\t", np.round(v * 100, 4))
+        print(self.hp_string)
+        return {**means, **{f"nlg_{k}": v for k, v in scores.items()}}
+
+    def decode_report(self, state, batch, latent: bool, step: int,
+                      print_samples: int = 10) -> Dict[str, float]:
+        """Greedy decode + sample printing + NLG scores
+        (reference train_iq.py:159-206).  Context at validation is the
+        category sequence, as in the reference's ``answer_types`` decode."""
+        cfg = self.cfg
+        images = self.augment_eval(batch["images"], self.rngs.key(3))
+        # decode conditions on the category token (reference
+        # train_iq.py:165, 173-174 passes answer_types as 1-token context)
+        context = np.asarray(batch["answer_types"])[:, None].astype(np.int32)
+        out = self._decode_steps[latent](
+            state, images, context, self.rngs.key(4_000_000 + step))
+        tokens = np.asarray(out["tokens"])
+        top_tokens = np.asarray(out["top_tokens"])
+        top_probs = np.asarray(out["top_probs"])
+
+        preds, gts = [], []
+        idx2word = self.vocab.idx2word
+        for i in range(tokens.shape[0]):
+            pred_words = []
+            for t in tokens[i]:
+                w = idx2word.get(int(t), "<unk>")
+                if w == "<end>":
+                    break
+                pred_words.append(w)
+            pred = " ".join(filter_special_tokens(pred_words))
+            gt = " ".join(filter_special_tokens(
+                [idx2word.get(int(w), "<unk>") for w in
+                 np.asarray(batch["target"])[i]]))
+            preds.append(pred)
+            gts.append(gt)
+            if i < print_samples:
+                print("Image ID:\t", int(np.asarray(batch["image_ids"])[i])
+                      if "image_ids" in batch else "-")
+                print("Context:\t", idx2word.get(int(context[i, 0]), "?"))
+                print("Generated:\t", pred)
+                print("Reference:\t", gt)
+                for j, w in enumerate(pred_words[:12]):
+                    near = [(idx2word.get(int(tt), "?"),
+                             round(float(pv), 4))
+                            for tt, pv in zip(top_tokens[i, j],
+                                              top_probs[i, j])]
+                    print(w, "\t\t", near)
+                print()
+
+        try:
+            return self.nlge.compute_metrics(ref_list=[gts], hyp_list=preds)
+        except ZeroDivisionError:
+            return {}

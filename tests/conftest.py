@@ -7,13 +7,17 @@ same Mesh/pjit code paths that run on a TPU slice run here.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
+
+# this image pins jax_platforms to "axon,cpu" regardless of the env var;
+# force the CPU backend so tests never grab (or race for) the TPU tunnel
+jax.config.update("jax_platforms", "cpu")
 
 # The XLA host platform mimics TPU matmul precision (bf16 passes) by default;
 # parity-vs-numpy tests need exact f32.

@@ -1,0 +1,202 @@
+"""Train-layer tests: loss goldens, schedules, optimizer masking,
+checkpoint round-trip, NLG metrics sanity."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from blt_vqg_tpu.train.losses import (
+    LossOutputs, compute_losses, kl_weight_schedule, masked_token_ce)
+from blt_vqg_tpu.train.schedule import noam_schedule
+from blt_vqg_tpu.train.nlg_metrics import NLGEval, corpus_bleu, rouge_l
+
+
+class TestLosses:
+    def test_masked_ce_ignores_pad(self):
+        logits = jnp.zeros((1, 3, 4))
+        # uniform logits → CE = log(4) at each non-pad position
+        t_all = jnp.array([[1, 2, 3]])
+        t_pad = jnp.array([[1, 2, 0]])
+        np.testing.assert_allclose(float(masked_token_ce(logits, t_all)),
+                                   math.log(4), rtol=1e-6)
+        np.testing.assert_allclose(float(masked_token_ce(logits, t_pad)),
+                                   math.log(4), rtol=1e-6)
+        # gradient must not flow from pad positions
+        g = jax.grad(lambda lg: masked_token_ce(lg, t_pad))(logits)
+        np.testing.assert_allclose(np.asarray(g[0, 2]), 0.0, atol=1e-9)
+
+    def test_kl_weight_matches_reference_formula(self):
+        """min(tanh(6·k/full − 3) + 1, 1) (reference train_iq.py:96-97)."""
+        full = 15000
+        for k in [0, 1000, 7500, 14999, 15000, 30000]:
+            want = min(math.tanh(6 * k / full - 3) + 1, 1)
+            got = float(kl_weight_schedule(jnp.asarray(k), full))
+            np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    def test_pretrain_vs_latent_assembly(self):
+        b, t, v = 2, 4, 8
+        rng = np.random.RandomState(0)
+        logits = jnp.asarray(rng.randn(b, t, v), jnp.float32)
+        targets = jnp.asarray(rng.randint(1, v, (b, t)))
+        feat = jnp.asarray(rng.randn(b, 6), jnp.float32)
+        recon = jnp.asarray(rng.randn(b, 6), jnp.float32)
+        kld = jnp.asarray(2.0)
+        z_logit = jnp.asarray(rng.randn(b, v), jnp.float32)
+
+        pre = compute_losses(logits, targets, (feat, recon), kld, None,
+                             jnp.asarray(0), False, 0.5, 1.0, 0.1, 100)
+        assert float(pre.kld) == 0.0 and float(pre.aux) == 0.0
+        np.testing.assert_allclose(
+            float(pre.loss), float(pre.rec) + 0.1 * float(pre.img), rtol=1e-5)
+
+        lat = compute_losses(logits, targets, (feat, recon), kld, z_logit,
+                             jnp.asarray(50), True, 0.5, 1.0, 0.1, 100)
+        klw = min(math.tanh(6 * 50 / 100 - 3) + 1, 1)
+        np.testing.assert_allclose(
+            float(lat.loss),
+            float(lat.rec) + 0.5 * klw * 2.0 + float(lat.aux)
+            + 0.1 * float(lat.img), rtol=1e-5)
+        np.testing.assert_allclose(float(lat.elbo),
+                                   float(lat.rec) + 2.0, rtol=1e-5)
+
+    def test_ppl_capped(self):
+        out = compute_losses(
+            jnp.full((1, 2, 4), 0.0), jnp.array([[1, 2]]),
+            (jnp.zeros((1, 2)), jnp.full((1, 2), 1e6)),  # huge img loss
+            jnp.asarray(0.0), None, jnp.asarray(0), False, 0.5, 1.0, 0.1, 10)
+        assert np.isfinite(float(out.ppl))
+
+
+class TestNoamSchedule:
+    def test_matches_reference_formula(self):
+        """lr = sqrt(1/H)·min(sqrt(1/(s+1)), s·wu^-1.5)
+        (reference train_iq.py:252-257)."""
+        sched = noam_schedule(hidden_dim=512, warmup_steps=4000)
+        for s in [0, 1, 100, 3999, 4000, 10000, 35000]:
+            want = math.sqrt(1 / 512) * min(math.sqrt(1 / (s + 1)),
+                                            s * 4000 ** -1.5)
+            np.testing.assert_allclose(float(sched(s)), want, rtol=1e-5)
+
+    def test_peak_near_warmup(self):
+        sched = noam_schedule(512, 4000)
+        lrs = [float(sched(s)) for s in range(0, 20000, 500)]
+        assert np.argmax(lrs) == pytest.approx(8, abs=1)
+
+
+class TestOptimizerMasking:
+    def test_backbone_frozen(self, tiny_cfg):
+        import optax
+        from blt_vqg_tpu.train.state import make_optimizer
+        params = {
+            "encoder_cnn": {
+                "backbone": {"stem_conv": {"kernel": jnp.ones((3, 3))}},
+                "fc": {"kernel": jnp.ones((4, 4))}},
+            "decoder": {"layer_0": {"w": jnp.ones((2, 2))}},
+        }
+        tx = make_optimizer(tiny_cfg, params)
+        st = tx.init(params)
+        grads = jax.tree.map(jnp.ones_like, params)
+        # Noam lr(0) == 0 (reference formula) — take two steps and check the
+        # second, where lr > 0
+        updates, st = tx.update(grads, st, params)
+        updates, _ = tx.update(grads, st, params)
+        # frozen backbone gets exactly zero update
+        np.testing.assert_allclose(
+            np.asarray(updates["encoder_cnn"]["backbone"]["stem_conv"]["kernel"]),
+            0.0)
+        # trainable parts move
+        assert np.abs(np.asarray(
+            updates["encoder_cnn"]["fc"]["kernel"])).max() > 0
+        assert np.abs(np.asarray(
+            updates["decoder"]["layer_0"]["w"])).max() > 0
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, tmp_path, tiny_cfg, vocab_size):
+        from blt_vqg_tpu.core.checkpoint import CheckpointManager
+        from blt_vqg_tpu.models.iq import IQ
+        from blt_vqg_tpu.train.state import create_train_state
+        cfg = tiny_cfg
+        model = IQ(cfg, vocab_size)
+        batch = {
+            "images": jnp.zeros((2, cfg.image_size, cfg.image_size, 3)),
+            "context": jnp.ones((2, cfg.max_context_len), jnp.int32),
+            "posterior": jnp.ones((2, cfg.max_posterior_len), jnp.int32),
+            "target": jnp.ones((2, cfg.max_q_length), jnp.int32),
+        }
+        state = create_train_state(cfg, model, jax.random.key(0), batch)
+        state = state.replace(step=jnp.asarray(7, jnp.int32),
+                              kliter=jnp.asarray(3, jnp.int32))
+        mgr = CheckpointManager(str(tmp_path / "ckpt"), keep=2)
+        mgr.save(state, cfg)
+        assert mgr.latest_step() == 7
+
+        # restore into a fresh template
+        fresh = create_train_state(cfg, model, jax.random.key(1), batch)
+        restored = mgr.restore(fresh)
+        assert int(restored.step) == 7 and int(restored.kliter) == 3
+        a = jax.tree_util.tree_leaves(state.params)
+        b = jax.tree_util.tree_leaves(restored.params)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    def test_retention_gc(self, tmp_path, tiny_cfg, vocab_size):
+        from blt_vqg_tpu.core.checkpoint import CheckpointManager
+        from blt_vqg_tpu.models.iq import IQ
+        from blt_vqg_tpu.train.state import create_train_state
+        cfg = tiny_cfg
+        model = IQ(cfg, vocab_size)
+        batch = {
+            "images": jnp.zeros((2, cfg.image_size, cfg.image_size, 3)),
+            "context": jnp.ones((2, cfg.max_context_len), jnp.int32),
+            "posterior": jnp.ones((2, cfg.max_posterior_len), jnp.int32),
+            "target": jnp.ones((2, cfg.max_q_length), jnp.int32),
+        }
+        state = create_train_state(cfg, model, jax.random.key(0), batch)
+        mgr = CheckpointManager(str(tmp_path / "ckpt"), keep=2)
+        for s in (1, 2, 3, 4):
+            mgr.save(state.replace(step=jnp.asarray(s, jnp.int32)), cfg)
+        assert mgr.all_steps() == [3, 4]
+
+
+class TestNLGMetrics:
+    def test_perfect_match_scores_one(self):
+        refs = ["what color is the cat", "how many dogs are there"]
+        scores = NLGEval().compute_metrics(ref_list=[refs], hyp_list=refs)
+        for k in ("Bleu_1", "Bleu_4", "ROUGE_L"):
+            np.testing.assert_allclose(scores[k], 1.0, atol=1e-6)
+        # METEOR's fragmentation penalty is nonzero even for an exact match
+        # (one chunk): 1 - 0.5·(1/m)³
+        assert scores["METEOR"] > 0.99
+        assert scores["CIDEr"] > 0
+
+    def test_disjoint_scores_zero(self):
+        scores = NLGEval().compute_metrics(
+            ref_list=[["aa bb cc"]], hyp_list=["xx yy zz"])
+        assert scores["Bleu_1"] < 1e-6
+        assert scores["ROUGE_L"] == 0.0
+        assert scores["METEOR"] == 0.0
+
+    def test_bleu_brevity_penalty(self):
+        # hypothesis = half the reference: unigram precision 1, bp = e^{1-2}
+        b = corpus_bleu([[["a", "b", "c", "d"]]], [["a", "b"]], 1)
+        np.testing.assert_allclose(b[0], math.exp(1 - 2), rtol=1e-6)
+
+    def test_rouge_prefers_longer_lcs(self):
+        refs = [[["a", "b", "c", "d"]]] * 2
+        hyp_good = [["a", "b", "c", "d"]]
+        hyp_bad = [["a", "x", "c", "y"]]
+        assert rouge_l([refs[0]], hyp_good) > rouge_l([refs[1]], hyp_bad)
+
+    def test_ordering_quality(self):
+        """Better hypotheses must score higher across all metrics."""
+        ref = ["what color is the small cat"]
+        good = ["what color is the cat"]
+        bad = ["how many dogs"]
+        s_good = NLGEval().compute_metrics(ref_list=[ref], hyp_list=good)
+        s_bad = NLGEval().compute_metrics(ref_list=[ref], hyp_list=bad)
+        for k in s_good:
+            assert s_good[k] >= s_bad[k], k
