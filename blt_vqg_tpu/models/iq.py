@@ -29,7 +29,7 @@ from flax import linen as nn
 
 from blt_vqg_tpu.core.config import Config
 from blt_vqg_tpu.ops.latent import Latent
-from blt_vqg_tpu.ops.masks import decoder_mask, pad_mask
+from blt_vqg_tpu.ops.masks import pad_mask
 from blt_vqg_tpu.ops.mlp import MLP
 from blt_vqg_tpu.ops.resnet import EncoderCNN
 from blt_vqg_tpu.ops.transformer import TransformerDecoder, TransformerEncoder
@@ -130,7 +130,9 @@ class IQ(nn.Module):
         b = target.shape[0]
         sos = jnp.full((b, 1), START, dtype=target.dtype)
         shifted = jnp.concatenate([sos, target[:, :-1]], axis=1)
-        trg_mask = decoder_mask(shifted, PAD)
+        # key-padding mask only; causality is structural in the decoder's
+        # self-attention (ops/attention.py causal=True)
+        trg_mask = pad_mask(shifted, PAD)
         temb = self.embed_tokens(shifted)
         inject = image_features if z_proj is None else image_features + z_proj
         temb = temb.at[:, 0].add(inject.astype(temb.dtype))
@@ -167,9 +169,8 @@ class IQ(nn.Module):
             z_proj = self.latent_projection(z)
         temb = self.embed_tokens(prefix)
         temb = temb.at[:, 0].add((image_features + z_proj).astype(temb.dtype))
-        from blt_vqg_tpu.ops.masks import causal_mask
-        trg_mask = causal_mask(prefix.shape[1])
-        dec_out = self.decoder(temb, enc, src_mask, trg_mask, True)
+        # causal-only: no pad mask on the prefix (see docstring)
+        dec_out = self.decoder(temb, enc, src_mask, None, True)
         return self.output_proj(dec_out.astype(jnp.float32))
 
     # ------------------------------------------------------------------

@@ -33,6 +33,7 @@ class MultiHeadAttention(nn.Module):
     dropout_rate: float = 0.1
     dtype: jnp.dtype = jnp.bfloat16
     use_pallas: bool = False
+    causal: bool = False  # decoder self-attention: mask j > i structurally
 
     @property
     def head_dim(self) -> int:
@@ -54,15 +55,29 @@ class MultiHeadAttention(nn.Module):
     def __call__(self, q_in: jnp.ndarray, kv_in: jnp.ndarray,
                  mask: Optional[jnp.ndarray] = None,
                  deterministic: bool = True) -> jnp.ndarray:
-        """Full attention. q_in [B,Tq,D], kv_in [B,Tk,D], mask [B|1,1,Tq|1,Tk]."""
+        """Full attention. q_in [B,Tq,D], kv_in [B,Tk,D].
+
+        ``mask`` is a key-padding mask [B|1, 1, 1, Tk] (True = masked); when
+        ``self.causal`` the j>i constraint is added structurally — the
+        Pallas path never materializes it, the XLA path ORs it in.
+        """
         q = self._split(self.q_proj(q_in)) * (self.head_dim ** -0.5)
         k = self._split(self.k_proj(kv_in))
         v = self._split(self.v_proj(kv_in))
 
-        if self.use_pallas and deterministic:
+        use_pallas = (self.use_pallas
+                      and (mask is None or mask.shape[2] == 1)
+                      and (self.dropout_rate == 0.0 or deterministic))
+        if use_pallas:
             from blt_vqg_tpu.ops.pallas.flash_attention import flash_attention
-            ctx = flash_attention(q, k, v, mask)
+            kv_pad = None if mask is None else jnp.broadcast_to(
+                mask[:, 0, 0, :], (kv_in.shape[0], kv_in.shape[1]))
+            ctx = flash_attention(q, k, v, kv_pad, causal=self.causal)
         else:
+            if self.causal:
+                from blt_vqg_tpu.ops.masks import causal_mask
+                cm = causal_mask(kv_in.shape[1])[:, :, :q_in.shape[1], :]
+                mask = cm if mask is None else jnp.logical_or(mask, cm)
             # [B,H,Tq,Tk] logits in f32 for a stable softmax
             logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                                 preferred_element_type=jnp.float32)

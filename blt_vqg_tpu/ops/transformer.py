@@ -119,7 +119,8 @@ class DecoderLayer(nn.Module):
         self.ln_self = nn.LayerNorm(dtype=self.dtype, name="ln_self")
         self.self_attn = MultiHeadAttention(
             self.hidden_dim, self.num_heads, self.attention_dropout,
-            dtype=self.dtype, use_pallas=self.use_pallas, name="self_attn")
+            dtype=self.dtype, use_pallas=self.use_pallas, causal=True,
+            name="self_attn")
         self.ln_cross = nn.LayerNorm(dtype=self.dtype, name="ln_cross")
         self.cross_attn = MultiHeadAttention(
             self.hidden_dim, self.num_heads, self.attention_dropout,
@@ -132,6 +133,9 @@ class DecoderLayer(nn.Module):
 
     def __call__(self, x, enc_out, src_mask=None, trg_mask=None,
                  deterministic: bool = True):
+        # trg_mask is the target KEY-PADDING mask [B,1,1,T]; causality comes
+        # from self_attn.causal (equivalent to the reference's pad+subsequent
+        # combine, transformer_layers.py:205-207, without materializing it)
         xn = self.ln_self(x)
         y = self.self_attn(xn, xn, trg_mask, deterministic)
         x = self.dropout(x + y, deterministic=deterministic)
