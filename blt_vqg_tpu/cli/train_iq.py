@@ -43,6 +43,7 @@ def main(argv=None):
     from blt_vqg_tpu.text.build import build_vocab
     from blt_vqg_tpu.text.glove import load_glove_embeddings
     from blt_vqg_tpu.data.dataset import IQDataset
+    from blt_vqg_tpu.data.packed import PackedDataset
     from blt_vqg_tpu.data.loader import make_loader
     from blt_vqg_tpu.parallel.mesh import build_mesh
     from blt_vqg_tpu.train.trainer import Trainer
@@ -59,10 +60,14 @@ def main(argv=None):
     mesh = build_mesh(cfg.mesh_shape, cfg.mesh_axis_names)
     cat2name = cfg.cat2name if os.path.exists(cfg.cat2name) else None
 
-    train_ds = IQDataset(cfg.dataset, vocab, cat2name,
-                         max_examples=args.max_examples)
-    val_ds = IQDataset(cfg.val_dataset, vocab, cat2name,
-                       max_examples=args.max_examples)
+    def open_dataset(path):
+        # a directory is a packed (mmap + native gather) dataset; a file is
+        # the reference-schema hdf5
+        cls = PackedDataset if os.path.isdir(path) else IQDataset
+        return cls(path, vocab, cat2name, max_examples=args.max_examples)
+
+    train_ds = open_dataset(cfg.dataset)
+    val_ds = open_dataset(cfg.val_dataset)
     train_iter = make_loader(train_ds, cfg.batch_size, cfg.input_mode,
                              shuffle=True, seed=cfg.seed, mesh=mesh,
                              prefetch_depth=cfg.prefetch_depth)
