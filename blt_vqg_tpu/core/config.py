@@ -82,6 +82,10 @@ class Config:
     seed: int = 0
     image_size: int = 224
     prefetch_depth: int = 2
+    guard_nonfinite: bool = False     # skip updates whose loss is NaN/Inf
+    debug_nans: bool = False          # jax_debug_nans (debugging only)
+    image_encoder: str = "resnet18"   # "resnet18" | "vit_b16"
+    beam_size: int = 1                # >1 switches eval decode to beam search
     compat_pad_seed: bool = True      # seed greedy decode with <pad> like the
                                       # reference (iq.py:129); False uses <start>
 
@@ -180,6 +184,12 @@ def add_config_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
                         help="size of the 'model' mesh axis")
     parser.add_argument("--use_pallas_attention", action="store_true")
     parser.add_argument("--remat", action="store_true")
+    parser.add_argument("--guard_nonfinite", action="store_true")
+    parser.add_argument("--debug_nans", action="store_true")
+    parser.add_argument("--image_encoder", type=str,
+                        default=defaults.image_encoder,
+                        choices=("resnet18", "vit_b16"))
+    parser.add_argument("--beam_size", type=int, default=defaults.beam_size)
     parser.add_argument("--seed", type=int, default=defaults.seed)
     return parser
 

@@ -49,7 +49,13 @@ class IQ(nn.Module):
                               name="embed")
         self.embed_proj = nn.Dense(cfg.hidden_dim, dtype=dtype,
                                    name="embed_proj")
-        self.encoder_cnn = EncoderCNN(cfg.hidden_dim, dtype, name="encoder_cnn")
+        if cfg.image_encoder == "vit_b16":
+            from blt_vqg_tpu.ops.vit import ViTEncoder
+            self.encoder_cnn = ViTEncoder(cfg.hidden_dim, dtype,
+                                          name="encoder_cnn")
+        else:
+            self.encoder_cnn = EncoderCNN(cfg.hidden_dim, dtype,
+                                          name="encoder_cnn")
         enc_kw = dict(
             hidden_dim=cfg.hidden_dim, num_layers=cfg.num_layers,
             num_heads=cfg.num_heads, pwffn_dim=cfg.pwffn_dim,
@@ -145,6 +151,111 @@ class IQ(nn.Module):
 
         return logits, z_logit, kld, (image_features.astype(jnp.float32),
                                       recon.astype(jnp.float32))
+
+    # ------------------------------------------------------------------
+    def decode_beam(self, images: jnp.ndarray, context: jnp.ndarray,
+                    beam_size: int = 4, max_decode_length: int = 50,
+                    latent_mode: bool = False, length_penalty: float = 0.6,
+                    ) -> Dict[str, jnp.ndarray]:
+        """Beam-search decoding under ``lax.scan`` with a KV cache.
+
+        Capability extension over the reference (greedy only, iq.py:117-152):
+        beams are folded into the batch dimension (B·K sequences decode in
+        one MXU-wide step), finished beams are length-normalized with the
+        GNMT penalty ((5+len)/6)^alpha.  Returns the best beam's tokens
+        [B, L] and its score [B].
+        """
+        cfg = self.cfg
+        k_beams = beam_size
+        image_features = self.encoder_cnn(images, train=False)
+        enc, src_mask = self.encode_context(context, image_features, True)
+        z_proj = jnp.zeros_like(image_features)
+        if latent_mode:
+            _, z, _ = self.latent(enc[:, 0], None, deterministic=True)
+            z_proj = self.latent_projection(z)
+        inject = (image_features + z_proj).astype(jnp.dtype(cfg.dtype))
+
+        b = context.shape[0]
+        steps = max_decode_length + 1
+
+        def tile(x):  # [B, ...] -> [B*K, ...]
+            return jnp.repeat(x, k_beams, axis=0)
+
+        enc_t, src_mask_t, inject_t = tile(enc), tile(src_mask), tile(inject)
+        cross_kvs = self.decoder.precompute_cross(enc_t)
+        caches = self.decoder.init_cache(b * k_beams, steps)
+
+        seed_id = PAD if cfg.compat_pad_seed else START
+        NEG = jnp.asarray(-1e9, jnp.float32)
+
+        def body(carry, pos):
+            tokens, scores, finished, caches = carry
+            # tokens [B, K]; scores [B, K]; finished bool [B, K]
+            x_t = self.embed_tokens(tokens.reshape(b * k_beams)[:, None])
+            x_t = jnp.where(pos == 0, x_t + inject_t[:, None, :], x_t)
+            y_t, new_caches = self.decoder.step(
+                x_t, caches, cross_kvs, pos, src_mask_t)
+            logits = self.output_proj(y_t[:, 0].astype(jnp.float32))
+            logp = jax.nn.log_softmax(logits, axis=-1)  # [B*K, V]
+            v = logp.shape[-1]
+            logp = logp.reshape(b, k_beams, v)
+
+            # finished beams may only emit <pad> at zero cost
+            pad_only = jnp.full((v,), NEG).at[PAD].set(0.0)
+            logp = jnp.where(finished[:, :, None], pad_only[None, None, :],
+                             logp)
+            cand = scores[:, :, None] + logp            # [B, K, V]
+            # at step 0 all beams are identical — keep only beam 0's slate
+            cand = jnp.where(
+                (pos == 0) & (jnp.arange(k_beams)[None, :, None] > 0),
+                NEG, cand)
+            flat = cand.reshape(b, k_beams * v)
+            top_scores, top_idx = jax.lax.top_k(flat, k_beams)   # [B, K]
+            parent = top_idx // v                                # [B, K]
+            token = (top_idx % v).astype(jnp.int32)              # [B, K]
+
+            # reorder caches along the beam dim to follow the parents
+            flat_parent = (jnp.arange(b)[:, None] * k_beams
+                           + parent).reshape(b * k_beams)
+            def reorder(c):
+                return jnp.take(c, flat_parent, axis=0)
+            new_caches = [(reorder(ck), reorder(cv))
+                          for ck, cv in new_caches]
+
+            finished = jnp.take_along_axis(finished, parent, axis=1)
+            finished = jnp.logical_or(finished, token == END)
+            return ((token, top_scores, finished, new_caches),
+                    (token, parent))
+
+        tokens0 = jnp.full((b, k_beams), seed_id, jnp.int32)
+        scores0 = jnp.zeros((b, k_beams), jnp.float32)
+        finished0 = jnp.zeros((b, k_beams), bool)
+        (_, final_scores, final_finished, _), (toks, parents) = jax.lax.scan(
+            body, (tokens0, scores0, finished0, caches), jnp.arange(steps))
+
+        # backtrack the best beam (length-penalized); scan stacked [L, B, K]
+        toks_lbk = toks
+        parents_lbk = parents
+        ended = jnp.cumsum((toks_lbk == END).astype(jnp.int32), axis=0) > 0
+        beam_len = jnp.sum(~ended, axis=0).astype(jnp.float32) + 1.0  # [B, K]
+        penalty = jnp.power((5.0 + beam_len) / 6.0, length_penalty)
+        norm_scores = final_scores / penalty
+        best = jnp.argmax(norm_scores, axis=1)   # [B]
+
+        def backtrack(carry, inp):
+            beam = carry                         # [B]
+            tok_l, par_l = inp                   # [B, K] each
+            tok = jnp.take_along_axis(tok_l, beam[:, None], axis=1)[:, 0]
+            beam = jnp.take_along_axis(par_l, beam[:, None], axis=1)[:, 0]
+            return beam, tok
+
+        _, rev_tokens = jax.lax.scan(
+            backtrack, best, (toks_lbk, parents_lbk), reverse=True)
+        # reverse scan emits ys in original order already (index l output
+        # corresponds to step l)
+        return {"tokens": jnp.moveaxis(rev_tokens, 0, 1),
+                "scores": jnp.take_along_axis(
+                    norm_scores, best[:, None], axis=1)[:, 0]}
 
     # ------------------------------------------------------------------
     def inference_logits(self, images: jnp.ndarray, context: jnp.ndarray,

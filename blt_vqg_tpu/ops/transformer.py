@@ -30,11 +30,12 @@ class PositionwiseFeedForward(nn.Module):
     pwffn_dim: int
     dropout_rate: float = 0.1
     dtype: jnp.dtype = jnp.bfloat16
+    activation: str = "relu"  # "relu" (reference 'll' config) | "gelu" (ViT)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         h = nn.Dense(self.pwffn_dim, dtype=self.dtype, name="ffn_in")(x)
-        h = nn.relu(h)
+        h = nn.gelu(h) if self.activation == "gelu" else nn.relu(h)
         h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
         return nn.Dense(self.hidden_dim, dtype=self.dtype, name="ffn_out")(h)
 
@@ -48,6 +49,7 @@ class EncoderLayer(nn.Module):
     layer_dropout: float = 0.0
     dtype: jnp.dtype = jnp.bfloat16
     use_pallas: bool = False
+    activation: str = "relu"
 
     def setup(self):
         self.ln_mha = nn.LayerNorm(dtype=self.dtype, name="ln_mha")
@@ -57,7 +59,7 @@ class EncoderLayer(nn.Module):
         self.ln_ffn = nn.LayerNorm(dtype=self.dtype, name="ln_ffn")
         self.ffn = PositionwiseFeedForward(
             self.hidden_dim, self.pwffn_dim, self.relu_dropout,
-            dtype=self.dtype, name="ffn")
+            dtype=self.dtype, activation=self.activation, name="ffn")
         self.dropout = nn.Dropout(self.layer_dropout)
 
     def __call__(self, x, mask=None, deterministic: bool = True):

@@ -46,6 +46,28 @@ def masked_token_ce(logits: jnp.ndarray, targets: jnp.ndarray,
     return jnp.sum(ce * mask) / jnp.maximum(jnp.sum(mask), 1.0)
 
 
+def gaussian_kl_to_unit(mus: jnp.ndarray, logvars: jnp.ndarray,
+                        eps: float = 1e-8) -> jnp.ndarray:
+    """KL to the unit normal, normalized by batch size (capability parity
+    with reference train_utils.py:148-168 ``gaussian_KL_loss``)."""
+    mus = mus.astype(jnp.float32)
+    logvars = logvars.astype(jnp.float32)
+    kld = -0.5 * jnp.sum(1.0 + logvars - jnp.square(mus) - jnp.exp(logvars))
+    return kld / (mus.shape[0] + eps)
+
+
+def vae_loss(logits: jnp.ndarray, targets: jnp.ndarray, mus: jnp.ndarray,
+             logvars: jnp.ndarray, pad_id: int = PAD_ID) -> jnp.ndarray:
+    """CE + unit-normal KL (reference train_utils.py:171-184 capability)."""
+    return masked_token_ce(logits, targets, pad_id) + gaussian_kl_to_unit(
+        mus, logvars)
+
+
+def sequence_lengths(tokens: jnp.ndarray, pad_id: int = PAD_ID) -> jnp.ndarray:
+    """Non-pad lengths per row (reference train_utils.py:127-141)."""
+    return jnp.sum(tokens != pad_id, axis=1)
+
+
 def kl_weight_schedule(kliter: jnp.ndarray, full_kl_step: int) -> jnp.ndarray:
     """tanh KL anneal (reference train_iq.py:96-97)."""
     w = jnp.tanh(6.0 * kliter.astype(jnp.float32) / full_kl_step - 3.0) + 1.0

@@ -58,12 +58,18 @@ def make_train_step(cfg: Config, latent_mode: bool,
         grad_fn = jax.value_and_grad(_loss_fn, has_aux=True)
         (_, (out, new_stats)), grads = grad_fn(
             state.params, state, batch, rng, cfg, latent_mode)
-        state = state.apply_gradients(
+        new_state = state.apply_gradients(
             grads, new_batch_stats=new_stats,
             kliter_inc=1 if latent_mode else 0)
         metrics = dict(out.as_dict())
         metrics["grad_norm"] = optax_global_norm(grads)
-        return state, metrics
+        if cfg.guard_nonfinite:
+            from blt_vqg_tpu.core.debug import guarded_update
+            # keep step/kliter advancing even on a skipped update
+            guarded, metrics = guarded_update(state, new_state, metrics)
+            new_state = guarded.replace(step=new_state.step,
+                                        kliter=new_state.kliter)
+        return new_state, metrics
 
     kw: Dict[str, Any] = dict(donate_argnums=(0,))
     if mesh is not None:

@@ -55,6 +55,9 @@ class Trainer:
         self.cfg = cfg
         self.vocab = vocab
         self.mesh = mesh
+        if cfg.debug_nans:
+            from blt_vqg_tpu.core.debug import enable_nan_checks
+            enable_nan_checks(True)
         self.model = IQ(cfg, len(vocab))
         self.rngs = RngStream(cfg.seed)
         self.nlge = NLGEval(no_glove=True, no_skipthoughts=True)

@@ -1,0 +1,96 @@
+"""Beam search and RNN decode tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from blt_vqg_tpu.models.iq import IQ
+
+
+@pytest.fixture(scope="module")
+def small_model(request):
+    cfg = request.getfixturevalue("tiny_cfg")
+    vs = request.getfixturevalue("vocab_size")
+    model = IQ(cfg, vs)
+    b = 2
+    images = jnp.zeros((b, cfg.image_size, cfg.image_size, 3))
+    context = jnp.ones((b, cfg.max_context_len), jnp.int32)
+    posterior = jnp.ones((b, cfg.max_posterior_len), jnp.int32)
+    target = jnp.ones((b, cfg.max_q_length), jnp.int32)
+    variables = model.init(
+        {"params": jax.random.key(0), "latent": jax.random.key(1),
+         "dropout": jax.random.key(2)},
+        images, context, posterior, target, latent_mode=True, train=False)
+    return cfg, model, variables, images, context
+
+
+class TestBeamSearch:
+    def test_shapes(self, small_model):
+        cfg, model, variables, images, context = small_model
+        out = model.apply(variables, images, context, beam_size=3,
+                          max_decode_length=cfg.max_decode_length,
+                          method=IQ.decode_beam)
+        b = images.shape[0]
+        assert out["tokens"].shape == (b, cfg.max_decode_length + 1)
+        assert out["scores"].shape == (b,)
+        assert np.all(np.isfinite(np.asarray(out["scores"])))
+
+    def test_beam1_matches_greedy(self, small_model):
+        """beam_size=1 must reduce exactly to greedy decoding."""
+        cfg, model, variables, images, context = small_model
+        greedy = model.apply(variables, images, context,
+                             max_decode_length=cfg.max_decode_length,
+                             method=IQ.decode_greedy)
+        beam = model.apply(variables, images, context, beam_size=1,
+                           max_decode_length=cfg.max_decode_length,
+                           method=IQ.decode_beam)
+        g = np.asarray(greedy["tokens"])
+        bm = np.asarray(beam["tokens"])
+        # compare up to each row's first <end> (post-<end> emissions differ:
+        # greedy keeps argmaxing, beam pads finished beams)
+        for i in range(g.shape[0]):
+            ends = np.where(g[i] == 3)[0]
+            stop = ends[0] + 1 if len(ends) else g.shape[1]
+            np.testing.assert_array_equal(g[i, :stop], bm[i, :stop])
+
+    def test_wider_beam_not_worse(self, small_model):
+        """A wider beam's (unnormalized-comparable) best score should be >=
+        the greedy path's score under the same scoring rule."""
+        cfg, model, variables, images, context = small_model
+        s1 = model.apply(variables, images, context, beam_size=1,
+                         max_decode_length=8, method=IQ.decode_beam)["scores"]
+        s4 = model.apply(variables, images, context, beam_size=4,
+                         max_decode_length=8, method=IQ.decode_beam)["scores"]
+        assert np.all(np.asarray(s4) >= np.asarray(s1) - 1e-4)
+
+
+class TestRNN:
+    def test_encoder_last_valid_state(self):
+        from blt_vqg_tpu.ops.rnn import RNNEncoder
+        enc = RNNEncoder(vocab_size=20, emb_dim=8, hidden_size=12,
+                         rnn_cell="lstm")
+        toks = jnp.array([[5, 6, 7, 0, 0], [5, 0, 0, 0, 0]])
+        params = enc.init(jax.random.key(0), toks)
+        ys, final = enc.apply(params, toks)
+        assert ys.shape == (2, 5, 12)
+        np.testing.assert_allclose(np.asarray(final[0]),
+                                   np.asarray(ys[0, 2]), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(final[1]),
+                                   np.asarray(ys[1, 0]), atol=1e-6)
+
+    @pytest.mark.parametrize("cell", ["lstm", "gru"])
+    def test_decoder_teacher_forced_and_greedy(self, cell):
+        from blt_vqg_tpu.ops.rnn import RNNDecoder
+        dec = RNNDecoder(vocab_size=20, emb_dim=8, hidden_size=12,
+                         rnn_cell=cell)
+        toks = jnp.array([[1, 5, 6], [1, 7, 8]])
+        ctx = jnp.ones((2, 12))
+        params = dec.init(jax.random.key(0), toks, ctx,
+                          method=RNNDecoder.teacher_forced)
+        logits = dec.apply(params, toks, ctx,
+                           method=RNNDecoder.teacher_forced)
+        assert logits.shape == (2, 3, 20)
+        out = dec.apply(params, 2, 6, 1, ctx, method=RNNDecoder.greedy)
+        assert out.shape == (2, 6)
+        assert out.dtype == jnp.int32

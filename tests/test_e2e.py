@@ -1,0 +1,83 @@
+"""End-to-end train smoke on CPU devices (SURVEY.md §4 plan): synthetic
+hdf5 → Trainer.fit across the phase boundary → checkpoint → resume."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from blt_vqg_tpu.core.config import Config
+from blt_vqg_tpu.data.dataset import IQDataset
+from blt_vqg_tpu.data.loader import make_loader
+from blt_vqg_tpu.data.synthetic import write_synthetic_hdf5
+from blt_vqg_tpu.text.vocabulary import Vocabulary
+from blt_vqg_tpu.train.trainer import Trainer
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e")
+    h5 = write_synthetic_hdf5(str(root / "train.hdf5"), num_questions=32,
+                              num_images=4, im_size=24, vocab_size=40)
+    vocab = Vocabulary()
+    for i in range(40 - len(vocab)):
+        vocab.add_word(f"w{i}")
+    cfg = Config(
+        emb_dim=8, hidden_dim=16, latent_dim=12, pwffn_dim=32,
+        num_layers=1, num_heads=2, batch_size=8, image_size=24,
+        max_q_length=10, max_decode_length=6,
+        num_pretraining_steps=2, total_training_steps=6, full_kl_step=3,
+        val_check_interval=100, checkpoint_every=3,
+        dtype="float32", output_dir=str(root / "run"))
+    return cfg, vocab, h5
+
+
+@pytest.mark.e2e
+class TestEndToEnd:
+    def test_fit_across_phase_boundary_and_resume(self, setup):
+        cfg, vocab, h5 = setup
+        ds = IQDataset(h5, vocab)
+        trainer = Trainer(cfg, vocab)
+        train_iter = make_loader(ds, cfg.batch_size, "ans", seed=0)
+        first = next(train_iter)
+        state = trainer.init_state(
+            {k: first[k] for k in ("images", "context", "posterior",
+                                   "target")}, resume=False)
+        state = trainer.fit(
+            state, train_iter,
+            lambda: make_loader(ds, cfg.batch_size, "ans", epochs=1,
+                                shuffle=False))
+        assert int(state.step) == cfg.total_training_steps
+        assert int(state.kliter) == (cfg.total_training_steps
+                                     - cfg.num_pretraining_steps)
+        # checkpoints written
+        assert trainer.ckpt.latest_step() == cfg.total_training_steps
+
+        # resume restores counters and params exactly
+        trainer2 = Trainer(cfg, vocab)
+        state2 = trainer2.init_state(
+            {k: first[k] for k in ("images", "context", "posterior",
+                                   "target")}, resume=True)
+        assert int(state2.step) == cfg.total_training_steps
+        for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                        jax.tree_util.tree_leaves(state2.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_validate_produces_metrics_and_decode(self, setup, capsys):
+        cfg, vocab, h5 = setup
+        ds = IQDataset(h5, vocab)
+        trainer = Trainer(cfg, vocab)
+        val_iter = make_loader(ds, cfg.batch_size, "ans", epochs=1,
+                               shuffle=False)
+        first = next(make_loader(ds, cfg.batch_size, "ans", epochs=1,
+                                 device=False))
+        state = trainer.init_state(
+            {k: np.asarray(first[k]) for k in
+             ("images", "context", "posterior", "target")}, resume=True)
+        out = trainer.validate(state, val_iter, latent=True,
+                               step=int(state.step), print_samples=2)
+        assert np.isfinite(out["loss"])
+        assert any(k.startswith("nlg_") for k in out)
+        printed = capsys.readouterr().out
+        assert "Generated:" in printed and "Reference:" in printed
