@@ -57,6 +57,7 @@ class CheckpointManager:
     def __init__(self, directory: str, keep: int = 5):
         self.directory = directory
         self.keep = keep
+        self._writer = None  # in-flight async write thread
         os.makedirs(directory, exist_ok=True)
 
     # -- paths ----------------------------------------------------------
@@ -78,31 +79,55 @@ class CheckpointManager:
 
     # -- save / restore -------------------------------------------------
     def save(self, state, cfg: Optional[Config] = None,
-             extra: Optional[dict] = None) -> str:
+             extra: Optional[dict] = None, block: bool = True) -> str:
+        """Saves a checkpoint.  With ``block=False`` the device→host
+        snapshot happens now (donation-safe: buffers may be reused the
+        moment this returns) but file IO runs on a background thread —
+        the train loop resumes while bytes hit disk."""
+        self.wait()  # one async write in flight at a time
         step = int(state.step)
         path = self._step_dir(step)
-        tmp = path + ".tmp"
-        os.makedirs(tmp, exist_ok=True)
         flat = {}
         flat.update(_flatten(state.params, "params/"))
         flat.update(_flatten(state.batch_stats, "batch_stats/"))
         flat.update(_flatten(state.opt_state, "opt_state/"))
         flat["__step__"] = np.asarray(int(state.step))
         flat["__kliter__"] = np.asarray(int(state.kliter))
-        np.savez(os.path.join(tmp, "state.npz"), **flat)
-        if cfg is not None:
-            cfg.save(os.path.join(tmp, "args.json"))
-        if extra:
-            with open(os.path.join(tmp, "extra.json"), "w") as f:
-                json.dump(extra, f)
-        if os.path.exists(path):
-            shutil.rmtree(path)
-        os.rename(tmp, path)
-        self._gc()
+        cfg_json = cfg.to_json() if cfg is not None else None
+        extra_json = json.dumps(extra) if extra else None
+
+        def write():
+            tmp = path + ".tmp"
+            os.makedirs(tmp, exist_ok=True)
+            np.savez(os.path.join(tmp, "state.npz"), **flat)
+            if cfg_json is not None:
+                with open(os.path.join(tmp, "args.json"), "w") as f:
+                    f.write(cfg_json)
+            if extra_json is not None:
+                with open(os.path.join(tmp, "extra.json"), "w") as f:
+                    f.write(extra_json)
+            if os.path.exists(path):
+                shutil.rmtree(path)
+            os.rename(tmp, path)
+            self._gc()
+
+        if block:
+            write()
+        else:
+            import threading
+            self._writer = threading.Thread(target=write, daemon=False)
+            self._writer.start()
         return path
+
+    def wait(self) -> None:
+        """Joins any in-flight async write."""
+        if self._writer is not None:
+            self._writer.join()
+            self._writer = None
 
     def restore(self, state, step: Optional[int] = None):
         """Returns a new TrainState filled from disk (template = ``state``)."""
+        self.wait()
         step = step if step is not None else self.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoints in {self.directory}")

@@ -83,9 +83,12 @@ class Config:
     image_size: int = 224
     prefetch_depth: int = 2
     guard_nonfinite: bool = False     # skip updates whose loss is NaN/Inf
+    log_grad_norm: bool = True        # False saves a full-param-tree read/step
     debug_nans: bool = False          # jax_debug_nans (debugging only)
     image_encoder: str = "resnet18"   # "resnet18" | "vit_b16"
     beam_size: int = 1                # >1 switches eval decode to beam search
+    model_family: str = "transformer" # "transformer" | "rnn" (legacy IQ)
+    rnn_cell: str = "lstm"            # rnn family: "lstm" | "gru"
     compat_pad_seed: bool = True      # seed greedy decode with <pad> like the
                                       # reference (iq.py:129); False uses <start>
 
@@ -190,6 +193,11 @@ def add_config_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
                         default=defaults.image_encoder,
                         choices=("resnet18", "vit_b16"))
     parser.add_argument("--beam_size", type=int, default=defaults.beam_size)
+    parser.add_argument("--model_family", type=str,
+                        default=defaults.model_family,
+                        choices=("transformer", "rnn"))
+    parser.add_argument("--rnn_cell", type=str, default=defaults.rnn_cell,
+                        choices=("lstm", "gru"))
     parser.add_argument("--seed", type=int, default=defaults.seed)
     return parser
 

@@ -62,7 +62,8 @@ def make_train_step(cfg: Config, latent_mode: bool,
             grads, new_batch_stats=new_stats,
             kliter_inc=1 if latent_mode else 0)
         metrics = dict(out.as_dict())
-        metrics["grad_norm"] = optax_global_norm(grads)
+        if cfg.log_grad_norm:
+            metrics["grad_norm"] = optax_global_norm(grads)
         if cfg.guard_nonfinite:
             from blt_vqg_tpu.core.debug import guarded_update
             # keep step/kliter advancing even on a skipped update

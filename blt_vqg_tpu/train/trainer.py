@@ -58,7 +58,11 @@ class Trainer:
         if cfg.debug_nans:
             from blt_vqg_tpu.core.debug import enable_nan_checks
             enable_nan_checks(True)
-        self.model = IQ(cfg, len(vocab))
+        if cfg.model_family == "rnn":
+            from blt_vqg_tpu.models.iq_rnn import IQRNN
+            self.model = IQRNN(cfg, len(vocab))
+        else:
+            self.model = IQ(cfg, len(vocab))
         self.rngs = RngStream(cfg.seed)
         self.nlge = NLGEval(no_glove=True, no_skipthoughts=True)
         self.writer = MetricWriter(cfg.output_dir)
@@ -123,10 +127,27 @@ class Trainer:
         t_last = time.time()
         log_every = 50
 
+        # graceful shutdown: SIGTERM/SIGINT finish the current step, save a
+        # checkpoint, and return (elastic-restart friendly — resume picks up
+        # from here)
+        import signal
+        stop_requested = {"flag": False}
+
+        def _request_stop(signum, frame):
+            log.warning("signal %d: checkpointing and stopping", signum)
+            stop_requested["flag"] = True
+
+        old_handlers = {}
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                old_handlers[sig] = signal.signal(sig, _request_stop)
+            except ValueError:  # non-main thread
+                pass
+
         if self.profile_dir:
             jax.profiler.start_trace(self.profile_dir)
         try:
-            while step < max_steps:
+            while step < max_steps and not stop_requested["flag"]:
                 if not latent and step >= cfg.num_pretraining_steps:
                     latent = True
                     state = state.reset_optimizer()
@@ -153,11 +174,14 @@ class Trainer:
                 if step % cfg.val_check_interval == 0:
                     self.validate(state, val_iter_factory(), latent, step)
                 if step % cfg.checkpoint_every == 0:
-                    self.ckpt.save(state, self.cfg)
+                    # async write: snapshot now, file IO off the step path
+                    self.ckpt.save(state, self.cfg, block=False)
         finally:
             if self.profile_dir:
                 jax.profiler.stop_trace()
-        self.ckpt.save(state, self.cfg)
+            for sig, handler in old_handlers.items():
+                signal.signal(sig, handler)
+        self.ckpt.save(state, self.cfg, block=True)
         return state
 
     # ------------------------------------------------------------------
@@ -207,8 +231,10 @@ class Trainer:
         out = self._decode_steps[latent](
             state, images, context, self.rngs.key(4_000_000 + step))
         tokens = np.asarray(out["tokens"])
-        top_tokens = np.asarray(out["top_tokens"])
-        top_probs = np.asarray(out["top_probs"])
+        # the RNN family's decode has no top-k probe
+        has_topk = "top_tokens" in out
+        top_tokens = np.asarray(out["top_tokens"]) if has_topk else None
+        top_probs = np.asarray(out["top_probs"]) if has_topk else None
 
         preds, gts = [], []
         idx2word = self.vocab.idx2word
@@ -231,12 +257,13 @@ class Trainer:
                 print("Context:\t", idx2word.get(int(context[i, 0]), "?"))
                 print("Generated:\t", pred)
                 print("Reference:\t", gt)
-                for j, w in enumerate(pred_words[:12]):
-                    near = [(idx2word.get(int(tt), "?"),
-                             round(float(pv), 4))
-                            for tt, pv in zip(top_tokens[i, j],
-                                              top_probs[i, j])]
-                    print(w, "\t\t", near)
+                if has_topk:
+                    for j, w in enumerate(pred_words[:12]):
+                        near = [(idx2word.get(int(tt), "?"),
+                                 round(float(pv), 4))
+                                for tt, pv in zip(top_tokens[i, j],
+                                                  top_probs[i, j])]
+                        print(w, "\t\t", near)
                 print()
 
         try:
