@@ -41,7 +41,8 @@ def _flagship_cfg():
     return Config(
         emb_dim=300, hidden_dim=1024, latent_dim=1024, pwffn_dim=2048,
         num_layers=6, num_heads=8, batch_size=BATCH, input_mode="cat",
-        dtype="bfloat16", image_size=IMAGE)
+        dtype="bfloat16", image_size=IMAGE,
+        log_grad_norm=False)  # telemetry off in the benchmark
 
 
 def bench_jax() -> dict:

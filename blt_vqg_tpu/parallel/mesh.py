@@ -7,6 +7,17 @@ first-class and explicit: a named ``jax.sharding.Mesh`` with a ``data`` axis
 ``model`` axis (tensor parallelism of attention heads and FFN width).  All
 collectives are emitted by XLA from sharding annotations; there is no
 hand-written communication layer to maintain.
+
+Strategy coverage (SURVEY.md §2.4):
+- DP: first-class (``data`` axis; per-host loading via core/distributed.py).
+- TP: first-class (``model`` axis, Megatron pattern in sharding.py).
+- Trial parallelism: train/tune.py (ASHA) — one accelerator per trial.
+- PP: intentionally out of scope — the flagship is 6 layers; pipelining
+  would add bubbles for no memory win at this depth.
+- SP/CP/ring attention: out of scope for parity (sequences ≤ 23 tokens);
+  the Pallas flash-attention kernel is written blockwise over keys, which
+  is the substrate a ``seq`` mesh axis would plug into.
+- EP: no MoE in this model family.
 """
 
 from __future__ import annotations
