@@ -88,10 +88,33 @@ def bench_jax() -> dict:
     jax.block_until_ready(out["tokens"])
     decode_qps = BATCH * 5 / (time.time() - t0)
 
+    # throughput-config scaling point (the parity config's batch 64 leaves
+    # the MXU partly idle; batch 256 is the serving/training sweet spot)
+    big_b = 256
+    cfg256 = cfg.replace(batch_size=big_b)
+    model256 = IQ(cfg256, vocab_size)
+    batch256 = {k: jax.device_put(v)
+                for k, v in _example_batch(cfg256, vocab_size, big_b).items()}
+    state256 = create_train_state(cfg256, model256, jax.random.key(0),
+                                  batch256)
+    step256 = make_train_step(cfg256, latent_mode=True)
+    state256, m = step256(state256, batch256, jax.random.key(1))
+    jax.block_until_ready(m["loss"])
+    for i in range(WARMUP):
+        state256, m = step256(state256, batch256, jax.random.key(i))
+    jax.block_until_ready(m["loss"])
+    t0 = time.time()
+    for i in range(TIMED):
+        state256, m = step256(state256, batch256, jax.random.key(i))
+    jax.block_until_ready(m["loss"])
+    train_sps_256 = big_b * TIMED / (time.time() - t0)
+
     platform = jax.devices()[0].platform
-    log(f"jax[{platform}]: {train_sps:.1f} samples/s train, "
-        f"{decode_qps:.1f} q/s decode, compile {compile_s:.1f}s")
-    return {"train_sps": train_sps, "decode_qps": decode_qps,
+    log(f"jax[{platform}]: {train_sps:.1f} samples/s train (b64), "
+        f"{train_sps_256:.1f} (b256), {decode_qps:.1f} q/s decode, "
+        f"compile {compile_s:.1f}s")
+    return {"train_sps": train_sps, "train_sps_256": train_sps_256,
+            "decode_qps": decode_qps,
             "platform": platform, "compile_s": compile_s,
             "step_ms": 1000 * dt / TIMED}
 
@@ -252,6 +275,7 @@ def main():
         "baseline_value": round(baseline_sps, 2) if baseline_sps else None,
         "platform": jx["platform"],
         "step_ms": round(jx["step_ms"], 2),
+        "train_samples_per_sec_batch256": round(jx["train_sps_256"], 2),
         "decode_questions_per_sec": round(jx["decode_qps"], 2),
         "compile_s": round(jx["compile_s"], 1),
     }))

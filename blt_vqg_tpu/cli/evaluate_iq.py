@@ -53,9 +53,13 @@ def main(argv=None):
 
     trainer = Trainer(cfg, vocab)
     ckpt = CheckpointManager(os.path.join(args.model_dir, "checkpoints"))
-    first = next(iter(loader))
+    # separate single-batch loader for state init — the eval loader is a
+    # one-pass stream and must not lose its first batch
+    first = next(make_loader(ds, cfg.batch_size, cfg.input_mode,
+                             shuffle=False, epochs=1, device=False))
     state = trainer.init_state(
-        {k: first[k] for k in ("images", "context", "posterior", "target")},
+        {k: np.asarray(first[k]) for k in ("images", "context", "posterior",
+                                           "target")},
         resume=False)
     state = ckpt.restore(state, step=args.step)
     latent = int(state.step) >= cfg.num_pretraining_steps
