@@ -286,8 +286,8 @@ class IQ(nn.Module):
 
     # ------------------------------------------------------------------
     def decode_greedy(self, images: jnp.ndarray, context: jnp.ndarray,
-                      max_decode_length: int = 50, latent_mode: bool = False
-                      ) -> Dict[str, jnp.ndarray]:
+                      max_decode_length: int = 50, latent_mode: bool = False,
+                      early_stop: bool = False) -> Dict[str, jnp.ndarray]:
         """Greedy decoding with a KV cache under ``lax.scan``.
 
         Semantics of reference iq.py:117-152: encode context once, sample z
@@ -295,6 +295,12 @@ class IQ(nn.Module):
         ``max_decode_length + 1`` tokens, recording top-6 (prob, token) per
         step.  Returns dict with tokens [B, L], top_tokens [B, L, 6],
         top_probs [B, L, 6].
+
+        ``early_stop=True`` switches to a ``lax.while_loop`` that exits once
+        every row has emitted ``<end>`` — same outputs (post-<end> positions
+        are ``<pad>``), but a trained model decoding ~10-token questions
+        does ~5× fewer steps than the fixed 51-step scan.  The reference has
+        no equivalent (its loop always runs max_decode_length+1 re-encodes).
         """
         cfg = self.cfg
         image_features = self.encoder_cnn(images, train=False)
@@ -314,29 +320,69 @@ class IQ(nn.Module):
 
         inject = (image_features + z_proj).astype(jnp.dtype(cfg.dtype))
 
-        def body(carry, pos):
-            token, caches = carry
+        def one_step(token, caches, pos):
             x_t = self.embed_tokens(token[:, None])
             # position-0 injection of image(+z) features, matching the
             # per-step add the reference does at [:, 0] of the full prefix
             # (decoder_transformer.py:46)
             x_t = jnp.where(pos == 0, x_t + inject[:, None, :], x_t)
-            y_t, caches = self.decoder.step(x_t, caches, cross_kvs, pos, src_mask)
+            y_t, caches = self.decoder.step(x_t, caches, cross_kvs, pos,
+                                            src_mask)
             logits_t = self.output_proj(y_t[:, 0].astype(jnp.float32))
             next_token = jnp.argmax(logits_t, axis=-1).astype(jnp.int32)
             probs = jax.nn.softmax(logits_t, axis=-1)
             top_probs, top_tokens = jax.lax.top_k(probs, 6)
-            return (next_token, caches), (next_token, top_tokens, top_probs)
+            return next_token, caches, top_tokens, top_probs
 
-        _, (tokens, top_tokens, top_probs) = jax.lax.scan(
-            body, (seed, caches), jnp.arange(steps))
+        if not early_stop:
+            def body(carry, pos):
+                token, caches = carry
+                next_token, caches, top_tokens, top_probs = one_step(
+                    token, caches, pos)
+                return (next_token, caches), (next_token, top_tokens,
+                                              top_probs)
 
-        # scan stacks along axis 0 → [L, B, ...]; move batch first
-        return {
-            "tokens": jnp.moveaxis(tokens, 0, 1),
-            "top_tokens": jnp.moveaxis(top_tokens, 0, 1),
-            "top_probs": jnp.moveaxis(top_probs, 0, 1),
-        }
+            _, (tokens, top_tokens, top_probs) = jax.lax.scan(
+                body, (seed, caches), jnp.arange(steps))
+            # scan stacks along axis 0 → [L, B, ...]; move batch first
+            return {
+                "tokens": jnp.moveaxis(tokens, 0, 1),
+                "top_tokens": jnp.moveaxis(top_tokens, 0, 1),
+                "top_probs": jnp.moveaxis(top_probs, 0, 1),
+            }
+
+        # -- while_loop variant: exit when every row has emitted <end> --
+        out_tokens = jnp.zeros((b, steps), jnp.int32)
+        out_top_t = jnp.zeros((b, steps, 6), jnp.int32)
+        out_top_p = jnp.zeros((b, steps, 6), jnp.float32)
+        done = jnp.zeros((b,), bool)
+
+        def cond(state):
+            pos, _, _, done, *_ = state
+            return jnp.logical_and(pos < steps, ~jnp.all(done))
+
+        def wbody(state):
+            pos, token, caches, done, out_tokens, out_top_t, out_top_p = state
+            next_token, caches, top_tokens, top_probs = one_step(
+                token, caches, pos)
+            # rows already finished emit <pad>
+            next_token = jnp.where(done, PAD, next_token)
+            out_tokens = jax.lax.dynamic_update_slice_in_dim(
+                out_tokens, next_token[:, None], pos, axis=1)
+            out_top_t = jax.lax.dynamic_update_slice_in_dim(
+                out_top_t, top_tokens[:, None, :], pos, axis=1)
+            out_top_p = jax.lax.dynamic_update_slice_in_dim(
+                out_top_p, top_probs[:, None, :], pos, axis=1)
+            done = jnp.logical_or(done, next_token == END)
+            return (pos + 1, next_token, caches, done,
+                    out_tokens, out_top_t, out_top_p)
+
+        state = (jnp.asarray(0), seed, caches, done,
+                 out_tokens, out_top_t, out_top_p)
+        (_, _, _, _, out_tokens, out_top_t, out_top_p) = jax.lax.while_loop(
+            cond, wbody, state)
+        return {"tokens": out_tokens, "top_tokens": out_top_t,
+                "top_probs": out_top_p}
 
 
 # ----------------------------------------------------------------------

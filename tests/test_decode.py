@@ -65,6 +65,26 @@ class TestBeamSearch:
         assert np.all(np.asarray(s4) >= np.asarray(s1) - 1e-4)
 
 
+class TestEarlyStopDecode:
+    def test_matches_scan_up_to_end(self, small_model):
+        cfg, model, variables, images, context = small_model
+        scan = model.apply(variables, images, context,
+                           max_decode_length=cfg.max_decode_length,
+                           method=IQ.decode_greedy)
+        early = model.apply(variables, images, context,
+                            max_decode_length=cfg.max_decode_length,
+                            early_stop=True, method=IQ.decode_greedy)
+        s = np.asarray(scan["tokens"])
+        e = np.asarray(early["tokens"])
+        for i in range(s.shape[0]):
+            ends = np.where(s[i] == 3)[0]
+            stop = ends[0] + 1 if len(ends) else s.shape[1]
+            np.testing.assert_array_equal(s[i, :stop], e[i, :stop])
+            # post-<end> positions are <pad> in the early-stop variant
+            if len(ends):
+                assert np.all(e[i, stop:] == 0)
+
+
 class TestRNN:
     def test_encoder_last_valid_state(self):
         from blt_vqg_tpu.ops.rnn import RNNEncoder

@@ -1,0 +1,107 @@
+"""Distributed-correctness tests on the 8-virtual-device CPU mesh.
+
+The key property: sharding is a layout annotation, not a semantic change —
+a TP×DP-sharded train step must produce the same numbers as the
+single-device program.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from blt_vqg_tpu.models.iq import IQ
+from blt_vqg_tpu.parallel.mesh import build_mesh, local_mesh
+from blt_vqg_tpu.parallel.sharding import (
+    batch_sharding, param_sharding_rules, replicate, shard_batch,
+    shard_params, spec_for_param)
+from blt_vqg_tpu.train.state import create_train_state
+from blt_vqg_tpu.train.step import make_train_step
+
+
+class TestMesh:
+    def test_build_shapes(self, eight_devices):
+        mesh = build_mesh((4, 2))
+        assert mesh.shape == {"data": 4, "model": 2}
+
+    def test_local_mesh_fills_data(self, eight_devices):
+        mesh = local_mesh(model=2)
+        assert mesh.shape == {"data": 4, "model": 2}
+
+    def test_too_many_devices_raises(self):
+        with pytest.raises(ValueError):
+            build_mesh((64, 2))
+
+
+class TestShardingRules:
+    def test_spec_selection(self):
+        from jax.sharding import PartitionSpec as P
+        assert spec_for_param("decoder/layer_0/self_attn/q_proj/kernel", 2) \
+            == P(None, "model")
+        assert spec_for_param("decoder/layer_0/self_attn/out_proj/kernel", 2) \
+            == P("model", None)
+        assert spec_for_param("encoder/layer_1/ffn/ffn_in/kernel", 2) \
+            == P(None, "model")
+        assert spec_for_param("encoder/layer_1/ffn/ffn_out/kernel", 2) \
+            == P("model", None)
+        assert spec_for_param("output_proj/kernel", 2) == P(None, "model")
+        assert spec_for_param("embed/embedding", 2) == P()
+        # biases under sharded scopes stay replicated (ndim guard)
+        assert spec_for_param("ffn/ffn_in/bias", 1) == P()
+
+    def test_params_actually_sharded(self, tiny_cfg, vocab_size,
+                                     eight_devices):
+        mesh = build_mesh((4, 2))
+        model = IQ(tiny_cfg, vocab_size)
+        batch = _tiny_batch(tiny_cfg, 8)
+        state = create_train_state(tiny_cfg, model, jax.random.key(0), batch)
+        sharded = shard_params(state.params, mesh)
+        qk = sharded["decoder"]["layer_0"]["self_attn"]["q_proj"]["kernel"]
+        # column-parallel: second dim split over 'model' (2 shards)
+        shard_shapes = {s.data.shape for s in qk.addressable_shards}
+        assert shard_shapes == {(qk.shape[0], qk.shape[1] // 2)}
+
+
+def _tiny_batch(cfg, b):
+    rng = np.random.RandomState(0)
+    return {
+        "images": rng.rand(b, cfg.image_size, cfg.image_size, 3
+                           ).astype(np.float32),
+        "context": rng.randint(1, 40, (b, cfg.max_context_len)
+                               ).astype(np.int32),
+        "posterior": rng.randint(1, 40, (b, cfg.max_posterior_len)
+                                 ).astype(np.int32),
+        "target": rng.randint(1, 40, (b, cfg.max_q_length)).astype(np.int32),
+    }
+
+
+class TestShardedStepParity:
+    @pytest.mark.parametrize("latent_mode", [False, True])
+    def test_dp_tp_matches_single_device(self, tiny_cfg, vocab_size,
+                                         eight_devices, latent_mode):
+        """One train step on a (4 data × 2 model) mesh must equal the
+        unsharded step numerically (sharding = layout only)."""
+        cfg = tiny_cfg
+        model = IQ(cfg, vocab_size)
+        batch = _tiny_batch(cfg, 8)
+
+        # single-device baseline
+        state0 = create_train_state(cfg, model, jax.random.key(0), batch)
+        step0 = make_train_step(cfg, latent_mode=latent_mode)
+        _, m0 = step0(state0, batch, jax.random.key(7))
+
+        # sharded run from identical init
+        mesh = build_mesh((4, 2))
+        state1 = create_train_state(cfg, model, jax.random.key(0), batch)
+        state1 = state1.replace(
+            params=shard_params(state1.params, mesh),
+            batch_stats=replicate(state1.batch_stats, mesh),
+            opt_state=replicate(state1.opt_state, mesh))
+        step1 = make_train_step(cfg, latent_mode=latent_mode, mesh=mesh)
+        _, m1 = step1(state1, shard_batch(batch, mesh), jax.random.key(7))
+
+        for key in ("loss", "rec", "img", "kld"):
+            np.testing.assert_allclose(
+                float(m0[key]), float(m1[key]), rtol=2e-4, atol=1e-5,
+                err_msg=f"{key} diverged under sharding "
+                        f"(latent={latent_mode})")
