@@ -70,6 +70,9 @@ class Config:
     val_check_interval: int = 500
     limit_val_batches: int = 100
     checkpoint_every: int = 400       # reference train_iq.py:373 (CheckpointEveryNSteps(400))
+    checkpoint_at_end: bool = True    # False skips the final save (benchmark
+                                      # runs on tunneled TPUs where device→host
+                                      # is ~MB/s)
     output_dir: str = "runs/default"
 
     # --- TPU-native options (no reference equivalent) ---

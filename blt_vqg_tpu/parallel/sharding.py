@@ -66,9 +66,16 @@ def param_sharding_rules(params: Any, mesh: Mesh) -> Any:
 
 
 def shard_params(params: Any, mesh: Mesh) -> Any:
-    """Places ``params`` on the mesh according to the rules."""
+    """Places ``params`` on the mesh according to the rules.
+
+    Single bulk ``device_put`` (per-leaf puts issue one transfer RPC each —
+    minutes over a tunneled TPU); a 1-device mesh is a no-op since the
+    params already live on that device.
+    """
+    if mesh.size == 1:
+        return params
     shardings = param_sharding_rules(params, mesh)
-    return jax.tree.map(jax.device_put, params, shardings)
+    return jax.device_put(params, shardings)
 
 
 def batch_sharding(mesh: Mesh, ndim: int = 2) -> NamedSharding:
@@ -82,5 +89,8 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
 
 
 def replicate(tree: Any, mesh: Mesh) -> Any:
+    if mesh.size == 1:
+        return tree
     sharding = NamedSharding(mesh, P())
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+    return jax.device_put(
+        tree, jax.tree.map(lambda _: sharding, tree))

@@ -99,9 +99,19 @@ class BPETokenizer:
 
     # -- encode / decode ------------------------------------------------
     def _merge_rank(self) -> Dict[Tuple[str, str], int]:
-        return {pair: i for i, pair in enumerate(self.merges)}
+        ranks = getattr(self, "_ranks_cache", None)
+        if ranks is None or len(ranks) != len(self.merges):
+            ranks = {pair: i for i, pair in enumerate(self.merges)}
+            self._ranks_cache = ranks
+        return ranks
 
     def encode_word(self, word: str) -> List[int]:
+        cache = getattr(self, "_word_cache", None)
+        if cache is None:
+            cache = self._word_cache = {}
+        hit = cache.get(word)
+        if hit is not None:
+            return hit
         seq = list(_word_to_bytes(" " + word))
         ranks = self._merge_rank()
         while len(seq) > 1:
@@ -114,7 +124,9 @@ class BPETokenizer:
                 break
             a, b = seq[best], seq[best + 1]
             seq[best:best + 2] = [f"{a}|{b}"]
-        return [self.token2id.get(t, self.token2id["<unk>"]) for t in seq]
+        ids = [self.token2id.get(t, self.token2id["<unk>"]) for t in seq]
+        cache[word] = ids
+        return ids
 
     def encode(self, text: str, max_length: int | None = None,
                add_special: bool = True) -> List[int]:

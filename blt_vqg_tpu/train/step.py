@@ -72,13 +72,12 @@ def make_train_step(cfg: Config, latent_mode: bool,
                                         kliter=new_state.kliter)
         return new_state, metrics
 
-    kw: Dict[str, Any] = dict(donate_argnums=(0,))
-    if mesh is not None:
-        repl = NamedSharding(mesh, P())
-        data = NamedSharding(mesh, P("data"))
-        kw["out_shardings"] = (None, repl)
-        del data  # batch sharding is applied by the data pipeline device_put
-    return jax.jit(step, **kw)
+    # No explicit out_shardings: outputs inherit layouts from the sharded
+    # inputs (params carry their NamedShardings; the batch is sharded by the
+    # data pipeline's device_put).  Explicit output shardings additionally
+    # wedge this image's experimental remote-compile path.
+    del mesh
+    return jax.jit(step, donate_argnums=(0,))
 
 
 def make_eval_step(cfg: Config, latent_mode: bool,

@@ -181,7 +181,8 @@ class Trainer:
                 jax.profiler.stop_trace()
             for sig, handler in old_handlers.items():
                 signal.signal(sig, handler)
-        self.ckpt.save(state, self.cfg, block=True)
+        if self.cfg.checkpoint_at_end:
+            self.ckpt.save(state, self.cfg, block=True)
         return state
 
     # ------------------------------------------------------------------
