@@ -24,6 +24,8 @@ import numpy as np
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
+# persistent compile cache: identical programs skip the (remote) compiler
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_compile_cache")
 BASELINE_CACHE = os.path.join(REPO, "benchmarks", "torch_baseline.json")
 
 BATCH = 64
