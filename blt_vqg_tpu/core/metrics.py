@@ -34,6 +34,10 @@ class MetricWriter:
             self._tb = SummaryWriter(os.path.join(output_dir, "tb"))
         except Exception:
             pass
+        # the TB event writer spawns a NON-daemon thread; without this the
+        # process never exits after main() returns
+        import atexit
+        atexit.register(self.close)
 
     def write(self, step: int, metrics: Dict[str, float],
               prefix: str = "train") -> None:
@@ -50,6 +54,8 @@ class MetricWriter:
                 self._tb.add_scalar(name, v, int(step))
 
     def close(self):
-        self._jsonl.close()
+        if not self._jsonl.closed:
+            self._jsonl.close()
         if self._tb is not None:
             self._tb.close()
+            self._tb = None

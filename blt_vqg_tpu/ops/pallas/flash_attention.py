@@ -1,4 +1,4 @@
-"""Blockwise flash attention for TPU (Pallas).
+"""Blockwise flash attention for TPU (Pallas), forward + custom VJP.
 
 The fused softmax(QKᵀ)·V path of MultiHeadAttention (ops/attention.py):
 scores live in VMEM one (BQ, BK) tile at a time with the online-softmax
@@ -7,21 +7,22 @@ HBM.  Replaces the reference's unfused matmul→masked_fill→softmax→matmul
 chain (reference transformer_layers.py:486-532) at the kernel level.
 
 Masking is structural, not materialized: causality is an in-kernel index
-comparison (all-future key blocks are skipped entirely — ~2× fewer tiles on
-causal attention), and key padding is a compact [B, Tk] byte mask.  This is
-what lets the kernel beat the XLA fused path: no [B, Tq, Tk] mask tensor is
-ever built or streamed.
+comparison (all-future tiles are skipped entirely — ~2× fewer tiles on
+causal attention), and key padding is a compact [B, Tk] byte mask.
+
+Training-capable: a FlashAttention-2-style custom VJP (two backward kernels:
+dK/dV gridded over key blocks, dQ over query blocks) recomputes P from the
+saved log-sum-exp instead of storing the score matrix, so backward is also
+O(T) memory.
 
 Written blockwise over keys so the same machinery extends to ring attention
 over a ``seq`` mesh axis (SURVEY.md §5 — documented non-goal for parity).
-
 Runs in interpret mode automatically off-TPU so CPU tests exercise the same
-code path.
+code paths.
 
-Measured on TPU v5 lite (b=64, h=8, d=128, T=1024, causal, bf16): 2.7×
-faster than the jitted einsum+where+softmax XLA path at the default
-(block_q=256, block_k=512) tiling — 41 vs 15 TFLOP/s counting the full
-(unskipped) score matrix.
+Measured on TPU v5 lite (b=64, h=8, d=128, T=1024, causal, bf16): forward
+2.7× faster than the jitted einsum+where+softmax XLA path at the default
+(block_q=256, block_k=512) tiling.
 """
 
 from __future__ import annotations
@@ -31,14 +32,20 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 
 
-def _kernel(q_ref, k_ref, v_ref, kvpad_ref, o_ref, acc_ref, m_ref, l_ref,
-            *, causal: bool, block_q: int, block_k: int, num_k_blocks: int):
+# ======================================================================
+# forward
+
+def _fwd_kernel(q_ref, k_ref, v_ref, kvpad_ref, o_ref, lse_ref,
+                acc_ref, m_ref, l_ref,
+                *, causal: bool, block_q: int, block_k: int,
+                num_k_blocks: int):
     qi = pl.program_id(1)
     ki = pl.program_id(2)
 
@@ -59,7 +66,6 @@ def _kernel(q_ref, k_ref, v_ref, kvpad_ref, o_ref, acc_ref, m_ref, l_ref,
         s = jax.lax.dot_general(           # [BQ, BK] f32
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        # key padding (compact byte mask, [1, BK] row)
         s = jnp.where(kvpad_ref[0] != 0, NEG_INF, s)
         if causal:
             rows = qi * block_q + jax.lax.broadcasted_iota(
@@ -82,9 +88,270 @@ def _kernel(q_ref, k_ref, v_ref, kvpad_ref, o_ref, acc_ref, m_ref, l_ref,
     @pl.when(ki == num_k_blocks - 1)
     def _finalize():
         l = l_ref[:]
-        safe = jnp.where(l == 0.0, 1.0, l)  # fully-masked rows emit zeros
+        dead = l == 0.0                    # fully-masked (padded) rows
+        safe = jnp.where(dead, 1.0, l)
         o_ref[0] = (acc_ref[:] / safe).astype(o_ref.dtype)
+        # lse = m + log(l); 0 for dead rows so backward's exp(s - lse) -> 0
+        lse = jnp.where(dead, 0.0, m_ref[:] + jnp.log(safe))
+        lse_ref[0, 0] = lse[:, 0]
 
+
+# ======================================================================
+# backward
+
+def _dkdv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, kvpad_ref,
+                 dk_ref, dv_ref, dk_acc, dv_acc,
+                 *, causal: bool, block_q: int, block_k: int,
+                 num_q_blocks: int):
+    ki = pl.program_id(1)
+    qi = pl.program_id(2)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    live = (not causal) or (ki * block_k <= qi * block_q + block_q - 1)
+
+    @pl.when(live)
+    def _compute():
+        q = q_ref[0]                          # [BQ, D]
+        k = k_ref[0]                          # [BK, D]
+        v = v_ref[0]                          # [BK, D]
+        do = do_ref[0].astype(jnp.float32)    # [BQ, D]
+        lse = lse_ref[0, 0][:, None]          # [BQ, 1]
+        delta = delta_ref[0, 0][:, None]      # [BQ, 1]
+
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        s = jnp.where(kvpad_ref[0] != 0, NEG_INF, s)
+        if causal:
+            rows = qi * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0)
+            cols = ki * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1)
+            s = jnp.where(cols > rows, NEG_INF, s)
+        p = jnp.exp(s - lse)                  # [BQ, BK]
+        # dv += P^T do
+        dv_acc[:] += jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        # ds = P * (do v^T - delta)
+        dp = jax.lax.dot_general(do, v.astype(jnp.float32),
+                                 (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        # dk += ds^T q
+        dk_acc[:] += jax.lax.dot_general(
+            ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    @pl.when(qi == num_q_blocks - 1)
+    def _finalize():
+        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, kvpad_ref,
+               dq_ref, dq_acc,
+               *, causal: bool, block_q: int, block_k: int,
+               num_k_blocks: int):
+    qi = pl.program_id(1)
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        dq_acc[:] = jnp.zeros_like(dq_acc)
+
+    live = (not causal) or (ki * block_k <= qi * block_q + block_q - 1)
+
+    @pl.when(live)
+    def _compute():
+        q = q_ref[0]
+        k = k_ref[0]
+        v = v_ref[0]
+        do = do_ref[0].astype(jnp.float32)
+        lse = lse_ref[0, 0][:, None]
+        delta = delta_ref[0, 0][:, None]
+
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        s = jnp.where(kvpad_ref[0] != 0, NEG_INF, s)
+        if causal:
+            rows = qi * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0)
+            cols = ki * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1)
+            s = jnp.where(cols > rows, NEG_INF, s)
+        p = jnp.exp(s - lse)
+        dp = jax.lax.dot_general(do, v.astype(jnp.float32),
+                                 (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        dq_acc[:] += jax.lax.dot_general(
+            ds, k.astype(jnp.float32), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    @pl.when(ki == num_k_blocks - 1)
+    def _finalize():
+        dq_ref[0] = dq_acc[:].astype(dq_ref.dtype)
+
+
+# ======================================================================
+# pallas_call plumbing (folded [B*H, T, D] layout)
+
+def _qspec(block_q, d):
+    return pl.BlockSpec((1, block_q, d), lambda bh, i, j: (bh, i, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _kspec(block_k, d):
+    return pl.BlockSpec((1, block_k, d), lambda bh, i, j: (bh, j, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _forward(qf, kf, vf, pad8, h, causal, block_q, block_k, interpret):
+    bh, tqp, d = qf.shape
+    tkp = kf.shape[1]
+    num_q = tqp // block_q
+    num_k = tkp // block_k
+    out, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel, causal=causal, block_q=block_q,
+                          block_k=block_k, num_k_blocks=num_k),
+        grid=(bh, num_q, num_k),
+        in_specs=[
+            _qspec(block_q, d),
+            _kspec(block_k, d),
+            _kspec(block_k, d),
+            pl.BlockSpec((1, 1, block_k), lambda bh, i, j: (bh // h, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            _qspec(block_q, d),
+            pl.BlockSpec((1, 1, block_q), lambda bh, i, j: (bh, 0, i),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, tqp, d), qf.dtype),
+            jax.ShapeDtypeStruct((bh, 1, tqp), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(qf, kf, vf, pad8)
+    return out, lse
+
+
+def _backward(qf, kf, vf, pad8, o, lse, do, h, causal, block_q, block_k,
+              interpret):
+    bh, tqp, d = qf.shape
+    tkp = kf.shape[1]
+    num_q = tqp // block_q
+    num_k = tkp // block_k
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
+                    axis=-1)[:, None, :]      # [BH, 1, TqP]
+
+    row_specs = [
+        _qspec(block_q, d),                                   # q
+        _kspec(block_k, d),                                   # k
+        _kspec(block_k, d),                                   # v
+        _qspec(block_q, d),                                   # do
+        pl.BlockSpec((1, 1, block_q), lambda bh, i, j: (bh, 0, i),
+                     memory_space=pltpu.VMEM),                # lse (q-block)
+        pl.BlockSpec((1, 1, block_q), lambda bh, i, j: (bh, 0, i),
+                     memory_space=pltpu.VMEM),                # delta
+        pl.BlockSpec((1, 1, block_k), lambda bh, i, j: (bh // h, 0, j),
+                     memory_space=pltpu.VMEM),                # kv pad
+    ]
+
+    # dK/dV: grid (bh, k-block, q-block) — q innermost, accumulate
+    def kq_spec(spec_maker, *a):
+        return spec_maker(*a)
+    dkdv_specs = [
+        pl.BlockSpec((1, block_q, d), lambda bh, j, i: (bh, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_k, d), lambda bh, j, i: (bh, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_k, d), lambda bh, j, i: (bh, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_q, d), lambda bh, j, i: (bh, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, block_q), lambda bh, j, i: (bh, 0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, block_q), lambda bh, j, i: (bh, 0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, block_k), lambda bh, j, i: (bh // h, 0, j),
+                     memory_space=pltpu.VMEM),
+    ]
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkdv_kernel, causal=causal, block_q=block_q,
+                          block_k=block_k, num_q_blocks=num_q),
+        grid=(bh, num_k, num_q),
+        in_specs=dkdv_specs,
+        out_specs=(
+            pl.BlockSpec((1, block_k, d), lambda bh, j, i: (bh, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda bh, j, i: (bh, j, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, tkp, d), kf.dtype),
+            jax.ShapeDtypeStruct((bh, tkp, d), vf.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(qf, kf, vf, do, lse, delta, pad8)
+
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel, causal=causal, block_q=block_q,
+                          block_k=block_k, num_k_blocks=num_k),
+        grid=(bh, num_q, num_k),
+        in_specs=row_specs,
+        out_specs=_qspec(block_q, d),
+        out_shape=jax.ShapeDtypeStruct((bh, tqp, d), qf.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(qf, kf, vf, do, lse, delta, pad8)
+    return dq, dk, dv
+
+
+@functools.lru_cache(maxsize=64)
+def _make_flash(h, causal, block_q, block_k, interpret):
+    @jax.custom_vjp
+    def f(qf, kf, vf, pad8):
+        return _forward(qf, kf, vf, pad8, h, causal, block_q, block_k,
+                        interpret)[0]
+
+    def fwd(qf, kf, vf, pad8):
+        o, lse = _forward(qf, kf, vf, pad8, h, causal, block_q, block_k,
+                          interpret)
+        return o, (qf, kf, vf, pad8, o, lse)
+
+    def bwd(res, do):
+        qf, kf, vf, pad8, o, lse = res
+        dq, dk, dv = _backward(qf, kf, vf, pad8, o, lse, do, h, causal,
+                               block_q, block_k, interpret)
+        dpad = np.zeros(pad8.shape, jax.dtypes.float0)
+        return dq, dk, dv, dpad
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+# ======================================================================
+# public API
 
 def _pad_to(x: jnp.ndarray, axis: int, mult: int, value=0) -> jnp.ndarray:
     pad = (-x.shape[axis]) % mult
@@ -102,9 +369,12 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                     causal: bool = False,
                     block_q: int = 256, block_k: int = 512,
                     interpret: Optional[bool] = None) -> jnp.ndarray:
-    """Fused attention.  q [B, Tq, H, D] (pre-scaled by 1/sqrt(D) upstream),
-    k/v [B, Tk, H, D], kv_pad bool [B, Tk] (True = masked key), causal adds
-    j>i masking.  Returns [B, Tq, H, D]."""
+    """Fused attention, differentiable (custom VJP).
+
+    q [B, Tq, H, D] (pre-scaled by 1/sqrt(D) upstream), k/v [B, Tk, H, D],
+    kv_pad bool [B, Tk] (True = masked key), causal adds j>i masking.
+    Returns [B, Tq, H, D].
+    """
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
     b, tq, h, d = q.shape
@@ -115,50 +385,13 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     qf = _pad_to(q.transpose(0, 2, 1, 3).reshape(b * h, tq, d), 1, block_q)
     kf = _pad_to(k.transpose(0, 2, 1, 3).reshape(b * h, tk, d), 1, block_k)
     vf = _pad_to(v.transpose(0, 2, 1, 3).reshape(b * h, tk, d), 1, block_k)
-    tqp, tkp = qf.shape[1], kf.shape[1]
 
     if kv_pad is None:
         pad8 = jnp.zeros((b, tk), jnp.int8)
     else:
         pad8 = kv_pad.astype(jnp.int8)
-    pad8 = _pad_to(pad8, 1, block_k, 1)[:, None, :]  # [B, 1, TkP]; pads masked
+    pad8 = _pad_to(pad8, 1, block_k, 1)[:, None, :]  # [B, 1, TkP]
 
-    num_q = tqp // block_q
-    num_k = tkp // block_k
-    grid = (b * h, num_q, num_k)
-
-    out = pl.pallas_call(
-        functools.partial(_kernel, causal=causal, block_q=block_q,
-                          block_k=block_k, num_k_blocks=num_k),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda bh, qi, ki: (bh, qi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, d), lambda bh, qi, ki: (bh, ki, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, d), lambda bh, qi, ki: (bh, ki, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_k), lambda bh, qi, ki: (bh // h, 0, ki),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, block_q, d),
-                               lambda bh, qi, ki: (bh, qi, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b * h, tqp, d), q.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((block_q, d), jnp.float32),
-            pltpu.VMEM((block_q, 1), jnp.float32),
-            pltpu.VMEM((block_q, 1), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=4 * b * h * tqp * tkp * d,
-            bytes_accessed=(qf.size + kf.size + vf.size) * qf.dtype.itemsize,
-            transcendentals=b * h * tqp * tkp,
-        ),
-        interpret=interpret,
-    )(qf, kf, vf, pad8)
-
+    out = _make_flash(h, causal, block_q, block_k, interpret)(
+        qf, kf, vf, pad8)
     return out[:, :tq].reshape(b, h, tq, d).transpose(0, 2, 1, 3)
