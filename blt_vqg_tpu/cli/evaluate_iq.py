@@ -28,6 +28,8 @@ def main(argv=None):
     parser.add_argument("--from-category", action="store_true",
                         help="condition on the category token instead of the answer")
     parser.add_argument("--max-batches", type=int, default=None)
+    parser.add_argument("--beam-size", type=int, default=None,
+                        help=">1 decodes with beam search instead of greedy")
     parser.add_argument("--step", type=int, default=None,
                         help="checkpoint step (default: latest)")
     parser.add_argument("--results-dir", type=str, default=None)
@@ -76,8 +78,18 @@ def main(argv=None):
             context = np.asarray(batch["answer_types"])[:, None].astype(np.int32)
         else:
             context = np.asarray(batch["context"])
-        out = trainer._decode_steps[latent](
-            state, images, context, trainer.rngs.key(bi))
+        beam = args.beam_size or cfg.beam_size
+        if beam > 1:
+            from blt_vqg_tpu.models.iq import IQ
+            out = trainer.model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                images, context, beam_size=beam,
+                max_decode_length=cfg.max_decode_length,
+                latent_mode=latent, method=IQ.decode_beam,
+                rngs={"latent": trainer.rngs.key(bi)})
+        else:
+            out = trainer._decode_steps[latent](
+                state, images, context, trainer.rngs.key(bi))
         for i, row in enumerate(np.asarray(out["tokens"])):
             words = []
             for t in row:

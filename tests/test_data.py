@@ -122,6 +122,30 @@ class TestAugment:
         b = aug(imgs, jax.random.key(7))
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_identity_box_reproduces_image(self):
+        """A full-image crop box at equal in/out size must be (near-)identity
+        — catches off-by-half-pixel errors in the bilinear sampler."""
+        from blt_vqg_tpu.data.augment import _batched_crop_resize
+        img = jax.random.uniform(jax.random.key(3), (2, 16, 16, 3))
+        out = _batched_crop_resize(
+            img, jnp.zeros((2,)), jnp.zeros((2,)),
+            jnp.full((2,), 16.0), jnp.full((2,), 16.0), 16)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(img),
+                                   atol=1e-5)
+
+    def test_crop_box_selects_region(self):
+        """Cropping the left half then comparing against a manual resize."""
+        from blt_vqg_tpu.data.augment import _batched_crop_resize
+        img = jnp.broadcast_to(
+            jnp.arange(16, dtype=jnp.float32)[None, None, :, None],
+            (1, 16, 16, 3))  # columns 0..15
+        out = _batched_crop_resize(
+            img, jnp.zeros((1,)), jnp.zeros((1,)),
+            jnp.full((1,), 16.0), jnp.full((1,), 8.0), 8)
+        # sample centers of an 8-wide crop of columns [0, 8): 0, 1, ..., 7
+        np.testing.assert_allclose(np.asarray(out[0, 0, :, 0]),
+                                   np.arange(8) * 1.0, atol=0.51)
+
     def test_train_crops_vary_with_key(self):
         aug = make_augment_fn(out_size=16, train=True, scale=(0.3, 0.8))
         imgs = jax.random.uniform(jax.random.key(1), (2, 32, 32, 3))
