@@ -16,8 +16,6 @@ import logging
 import os
 import sys
 
-import numpy as np
-
 
 def main(argv=None):
     parser = argparse.ArgumentParser()
@@ -39,7 +37,7 @@ def main(argv=None):
                         format="%(asctime)s %(levelname)s %(message)s")
     log = logging.getLogger("train_iq")
 
-    from blt_vqg_tpu.text.vocabulary import Vocabulary, load_vocab
+    from blt_vqg_tpu.text.vocabulary import load_vocab
     from blt_vqg_tpu.text.build import build_vocab
     from blt_vqg_tpu.text.glove import load_glove_embeddings
     from blt_vqg_tpu.data.dataset import IQDataset

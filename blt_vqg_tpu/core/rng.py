@@ -10,7 +10,7 @@ trivially shardable (each device can fold in its own axis index).
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 

@@ -15,9 +15,8 @@ from the context summary (MSE), z_logit from z+image.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict
 
-import jax
 import jax.numpy as jnp
 from flax import linen as nn
 

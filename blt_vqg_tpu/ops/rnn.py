@@ -10,7 +10,7 @@ XLA fuses onto the MXU; no cuDNN equivalent needed.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,7 @@ causal masking), redesigned for XLA:
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -20,11 +20,11 @@ dict, reference data_loader.py:175):
 from __future__ import annotations
 
 import functools
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
 from blt_vqg_tpu.core.config import Config
 from blt_vqg_tpu.train.losses import compute_losses
