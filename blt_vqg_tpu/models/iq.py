@@ -153,6 +153,28 @@ class IQ(nn.Module):
                                       recon.astype(jnp.float32))
 
     # ------------------------------------------------------------------
+    def predict_from_answer(self, images: jnp.ndarray, answers: jnp.ndarray,
+                            max_decode_length: int = 50,
+                            latent_mode: bool = True
+                            ) -> Dict[str, jnp.ndarray]:
+        """Generate questions conditioned on answer tokens (the old IQ API
+        name the stale reference eval driver calls, evaluate_iq.py:52)."""
+        return self.decode_greedy(images, answers, max_decode_length,
+                                  latent_mode)
+
+    def predict_from_category(self, images: jnp.ndarray,
+                              categories: jnp.ndarray,
+                              max_decode_length: int = 50,
+                              latent_mode: bool = True
+                              ) -> Dict[str, jnp.ndarray]:
+        """Generate questions conditioned on category ids [B] or [B, 1]
+        (reference evaluate_iq.py:54 / train_iq.py:165 semantics)."""
+        if categories.ndim == 1:
+            categories = categories[:, None]
+        return self.decode_greedy(images, categories, max_decode_length,
+                                  latent_mode)
+
+    # ------------------------------------------------------------------
     def decode_beam(self, images: jnp.ndarray, context: jnp.ndarray,
                     beam_size: int = 4, max_decode_length: int = 50,
                     latent_mode: bool = False, length_penalty: float = 0.6,
