@@ -50,6 +50,41 @@ def build_mesh(
     return Mesh(grid, axis_names)
 
 
+def build_hybrid_mesh(dcn_data: int = 1, ici_data: int = -1,
+                      model: int = 1) -> Mesh:
+    """Multi-slice mesh: DCN-connected slices × ICI-connected chips.
+
+    Axis order puts ``dcn_data`` outermost so only the once-per-step
+    gradient all-reduce crosses slice boundaries (DCN); TP activations and
+    intra-slice DP stay on ICI.  Uses mesh_utils' topology-aware device
+    ordering when multiple slices are present.
+    """
+    from jax.experimental import mesh_utils
+
+    n = len(jax.devices())
+    if ici_data == -1:
+        per_slice = n // dcn_data
+        if per_slice % model:
+            raise ValueError(
+                f"{per_slice} per-slice devices not divisible by model={model}")
+        ici_data = per_slice // model
+    shape = (dcn_data, ici_data, model)
+    devices = jax.devices()
+    if dcn_data > 1 and hasattr(devices[0], "slice_index"):
+        grid = mesh_utils.create_hybrid_device_mesh(
+            (ici_data, model), dcn_mesh_shape=(dcn_data, 1),
+            devices=devices)
+        grid = np.asarray(grid).reshape(shape)
+    else:
+        # no slice topology info (single slice, or virtual CPU devices):
+        # plain row-major layout — correct semantics, no topology hint
+        need = int(np.prod(shape))
+        if need > len(devices):
+            raise ValueError(f"need {need} devices, have {len(devices)}")
+        grid = np.asarray(devices[:need]).reshape(shape)
+    return Mesh(grid, ("dcn_data", "data", "model"))
+
+
 def local_mesh(data: int = -1, model: int = 1) -> Mesh:
     """Mesh over all local devices; data axis fills what model doesn't use."""
     n = len(jax.devices())
