@@ -31,13 +31,22 @@ class PositionwiseFeedForward(nn.Module):
     dropout_rate: float = 0.1
     dtype: jnp.dtype = jnp.bfloat16
     activation: str = "relu"  # "relu" (reference 'll' config) | "gelu" (ViT)
+    # reproduce the reference's trailing ReLU+dropout after the LAST linear
+    # (reference transformer_layers.py:400-408 — a bug per SURVEY.md §2.7;
+    # off by default, used by the full-stack golden-parity tests)
+    compat_trailing_relu: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        act = nn.gelu if self.activation == "gelu" else nn.relu
         h = nn.Dense(self.pwffn_dim, dtype=self.dtype, name="ffn_in")(x)
-        h = nn.gelu(h) if self.activation == "gelu" else nn.relu(h)
+        h = act(h)
         h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
-        return nn.Dense(self.hidden_dim, dtype=self.dtype, name="ffn_out")(h)
+        h = nn.Dense(self.hidden_dim, dtype=self.dtype, name="ffn_out")(h)
+        if self.compat_trailing_relu:
+            h = act(h)
+            h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
+        return h
 
 
 class EncoderLayer(nn.Module):
@@ -50,6 +59,7 @@ class EncoderLayer(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     use_pallas: bool = False
     activation: str = "relu"
+    compat_trailing_relu: bool = False
 
     def setup(self):
         self.ln_mha = nn.LayerNorm(dtype=self.dtype, name="ln_mha")
@@ -59,7 +69,8 @@ class EncoderLayer(nn.Module):
         self.ln_ffn = nn.LayerNorm(dtype=self.dtype, name="ln_ffn")
         self.ffn = PositionwiseFeedForward(
             self.hidden_dim, self.pwffn_dim, self.relu_dropout,
-            dtype=self.dtype, activation=self.activation, name="ffn")
+            dtype=self.dtype, activation=self.activation,
+            compat_trailing_relu=self.compat_trailing_relu, name="ffn")
         self.dropout = nn.Dropout(self.layer_dropout)
 
     def __call__(self, x, mask=None, deterministic: bool = True):
@@ -85,6 +96,7 @@ class TransformerEncoder(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     use_pallas: bool = False
     remat: bool = False
+    compat_trailing_relu: bool = False
 
     def setup(self):
         layer_cls = nn.remat(EncoderLayer) if self.remat else EncoderLayer
@@ -92,6 +104,7 @@ class TransformerEncoder(nn.Module):
             layer_cls(self.hidden_dim, self.num_heads, self.pwffn_dim,
                       self.attention_dropout, self.relu_dropout,
                       self.layer_dropout, self.dtype, self.use_pallas,
+                      compat_trailing_relu=self.compat_trailing_relu,
                       name=f"layer_{i}")
             for i in range(self.num_layers)
         ]
@@ -116,6 +129,7 @@ class DecoderLayer(nn.Module):
     layer_dropout: float = 0.0
     dtype: jnp.dtype = jnp.bfloat16
     use_pallas: bool = False
+    compat_trailing_relu: bool = False
 
     def setup(self):
         self.ln_self = nn.LayerNorm(dtype=self.dtype, name="ln_self")
@@ -130,7 +144,8 @@ class DecoderLayer(nn.Module):
         self.ln_ffn = nn.LayerNorm(dtype=self.dtype, name="ln_ffn")
         self.ffn = PositionwiseFeedForward(
             self.hidden_dim, self.pwffn_dim, self.relu_dropout,
-            dtype=self.dtype, name="ffn")
+            dtype=self.dtype,
+            compat_trailing_relu=self.compat_trailing_relu, name="ffn")
         self.dropout = nn.Dropout(self.layer_dropout)
 
     def __call__(self, x, enc_out, src_mask=None, trg_mask=None,
@@ -179,6 +194,7 @@ class TransformerDecoder(nn.Module):
     use_pallas: bool = False
     remat: bool = False
     max_decode_len: int = 64
+    compat_trailing_relu: bool = False
 
     def setup(self):
         layer_cls = nn.remat(DecoderLayer) if self.remat else DecoderLayer
@@ -186,6 +202,7 @@ class TransformerDecoder(nn.Module):
             layer_cls(self.hidden_dim, self.num_heads, self.pwffn_dim,
                       self.attention_dropout, self.relu_dropout,
                       self.layer_dropout, self.dtype, self.use_pallas,
+                      compat_trailing_relu=self.compat_trailing_relu,
                       name=f"layer_{i}")
             for i in range(self.num_layers)
         ]

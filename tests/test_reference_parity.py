@@ -5,11 +5,12 @@ needed) from /root/reference at test time, map their randomly-initialized
 weights onto our flax modules, and compare outputs elementwise.  They prove
 the TPU-native ops compute the same math, not merely similar shapes.
 
-Component-level by design: the full reference EncoderLayer is NOT compared
-because its FFN applies ReLU+dropout after the final linear (reference
-transformer_layers.py:400-408) — a bug SURVEY.md §2.7 directs us not to
-reproduce; the MHA, timing-signal, KL, and latent-net parities below cover
-every other piece of the layer.
+Coverage: timing signal, gaussian KLD, pad mask, MultiHeadAttention, the
+Latent prior/posterior nets, the Noam LR formula, and FULL encoder/decoder
+stacks (timing + pre-LN layers + final LN, causal+pad masking) — the latter
+via ``compat_trailing_relu=True``, which reproduces the reference FFN's
+trailing-ReLU quirk (reference transformer_layers.py:400-408; a bug per
+SURVEY.md §2.7, off by default in production).
 
 Skipped automatically when /root/reference or torch is unavailable.
 """
@@ -170,3 +171,119 @@ class TestNoamParity:
             min_arg2 = step * (4000 ** -1.5)
             ref_lr = math.sqrt(1 / hidden) * min(min_arg1, min_arg2)
             np.testing.assert_allclose(float(sched(step)), ref_lr, rtol=1e-5)
+
+
+def _map_mha(ref_mha):
+    return {
+        "q_proj": {"kernel": t2n(ref_mha.query_linear.weight).T},
+        "k_proj": {"kernel": t2n(ref_mha.key_linear.weight).T},
+        "v_proj": {"kernel": t2n(ref_mha.value_linear.weight).T},
+        "out_proj": {"kernel": t2n(ref_mha.output_linear.weight).T},
+    }
+
+
+def _map_ln(ref_ln):
+    return {"scale": t2n(ref_ln.weight), "bias": t2n(ref_ln.bias)}
+
+
+def _map_ffn(ref_ffn):
+    lin = list(ref_ffn.layers)
+    return {"ffn_in": {"kernel": t2n(lin[0].weight).T,
+                       "bias": t2n(lin[0].bias)},
+            "ffn_out": {"kernel": t2n(lin[1].weight).T,
+                        "bias": t2n(lin[1].bias)}}
+
+
+class TestFullEncoderParity:
+    def test_encoder_stack_matches_reference(self):
+        """Full 2-layer Encoder (timing + pre-LN MHA/FFN + final LN) vs the
+        actual reference Encoder, weights mapped, compat FFN quirk on."""
+        import jax
+        import jax.numpy as jnp
+        from blt_vqg_tpu.ops.transformer import TransformerEncoder
+        torch.manual_seed(0)
+        H, heads, layers, ffdim, b, t = 32, 4, 2, 64, 2, 7
+        ref = ref_tl.Encoder(
+            H, H, num_layers=layers, num_heads=heads, total_key_depth=H,
+            total_value_depth=H, filter_size=ffdim, attention_dropout=0.0,
+            relu_dropout=0.0, layer_dropout=0.0, input_dropout=0.0).eval()
+
+        ours = TransformerEncoder(
+            hidden_dim=H, num_layers=layers, num_heads=heads, pwffn_dim=ffdim,
+            attention_dropout=0.0, relu_dropout=0.0, layer_dropout=0.0,
+            input_dropout=0.0, dtype=jnp.float32, compat_trailing_relu=True)
+        x_np = np.random.RandomState(0).randn(b, t, H).astype(np.float32)
+        params = ours.init(jax.random.key(0), jnp.asarray(x_np))
+
+        mapped = {}
+        for i in range(layers):
+            rl = ref.enc[i]
+            mapped[f"layer_{i}"] = {
+                "mha": _map_mha(rl.multi_head_attention),
+                "ln_mha": _map_ln(rl.layer_norm_mha),
+                "ln_ffn": _map_ln(rl.layer_norm_ffn),
+                "ffn": _map_ffn(rl.positionwise_feed_forward),
+            }
+        mapped["final_ln"] = _map_ln(ref.layer_norm)
+
+        toks = np.array([[1, 2, 3, 0, 0, 0, 0], [1, 2, 3, 4, 5, 0, 0]])
+        ref_mask = torch.from_numpy(toks).eq(0).unsqueeze(1)
+        with torch.no_grad():
+            ref_out = ref(torch.from_numpy(x_np.copy()), ref_mask)
+        our_mask = jnp.asarray(toks == 0)[:, None, None, :]
+        our_out = ours.apply({"params": mapped}, jnp.asarray(x_np), our_mask)
+        np.testing.assert_allclose(np.asarray(our_out), t2n(ref_out),
+                                   atol=2e-4)
+
+
+class TestFullDecoderParity:
+    def test_decoder_stack_matches_reference(self):
+        """Full 2-layer Decoder (self+cross attention + FFN) vs the actual
+        reference Decoder: causal+pad masking equivalence included."""
+        import jax
+        import jax.numpy as jnp
+        from blt_vqg_tpu.ops.transformer import TransformerDecoder
+        torch.manual_seed(1)
+        H, heads, layers, ffdim, b, t, s = 32, 4, 2, 64, 2, 6, 5
+        ref = ref_tl.Decoder(
+            H, H, num_layers=layers, num_heads=heads, total_key_depth=H,
+            total_value_depth=H, filter_size=ffdim, attention_dropout=0.0,
+            relu_dropout=0.0, layer_dropout=0.0, input_dropout=0.0).eval()
+
+        ours = TransformerDecoder(
+            hidden_dim=H, num_layers=layers, num_heads=heads, pwffn_dim=ffdim,
+            attention_dropout=0.0, relu_dropout=0.0, layer_dropout=0.0,
+            input_dropout=0.0, dtype=jnp.float32, compat_trailing_relu=True)
+        rng = np.random.RandomState(1)
+        x_np = rng.randn(b, t, H).astype(np.float32)
+        enc_np = rng.randn(b, s, H).astype(np.float32)
+        params = ours.init(jax.random.key(0), jnp.asarray(x_np),
+                           jnp.asarray(enc_np))
+
+        mapped = {}
+        for i in range(layers):
+            rl = ref.dec[i]
+            mapped[f"layer_{i}"] = {
+                "self_attn": _map_mha(rl.multi_head_attention_dec),
+                "cross_attn": _map_mha(rl.multi_head_attention_enc_dec),
+                "ln_self": _map_ln(rl.layer_norm_mha_dec),
+                "ln_cross": _map_ln(rl.layer_norm_mha_enc),
+                "ln_ffn": _map_ln(rl.layer_norm_ffn),
+                "ffn": _map_ffn(rl.positionwise_feed_forward),
+            }
+        mapped["final_ln"] = _map_ln(ref.layer_norm)
+
+        trg = np.array([[1, 5, 6, 7, 0, 0], [1, 5, 0, 0, 0, 0]])
+        src = np.array([[1, 2, 3, 0, 0], [1, 2, 3, 4, 5]])
+        ref_src_mask = torch.from_numpy(src).eq(0).unsqueeze(1)
+        ref_trg_mask = torch.from_numpy(trg).eq(0).unsqueeze(1)
+        with torch.no_grad():
+            ref_out, _ = ref(torch.from_numpy(x_np.copy()),
+                             torch.from_numpy(enc_np),
+                             (ref_src_mask, ref_trg_mask))
+        our_out = ours.apply(
+            {"params": mapped}, jnp.asarray(x_np), jnp.asarray(enc_np),
+            jnp.asarray(src == 0)[:, None, None, :],
+            jnp.asarray(trg == 0)[:, None, None, :])
+        np.testing.assert_allclose(np.asarray(our_out), t2n(ref_out),
+                                   atol=2e-4)
