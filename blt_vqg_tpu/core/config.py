@@ -90,6 +90,8 @@ class Config:
     debug_nans: bool = False          # jax_debug_nans (debugging only)
     image_encoder: str = "resnet18"   # "resnet18" | "vit_b16"
     beam_size: int = 1                # >1 switches eval decode to beam search
+    decode_early_stop: bool = False   # while_loop decode: exit when all rows
+                                      # emitted <end> (serving speedup)
     model_family: str = "transformer" # "transformer" | "rnn" (legacy IQ)
     rnn_cell: str = "lstm"            # rnn family: "lstm" | "gru"
     compat_pad_seed: bool = True      # seed greedy decode with <pad> like the

@@ -105,6 +105,12 @@ def make_eval_step(cfg: Config, latent_mode: bool,
 def make_decode_step(cfg: Config, model, latent_mode: bool) -> Callable:
     """Jitted greedy decode: (state, images, context, rng) -> dict."""
 
+    import inspect
+    kwargs = {}
+    if cfg.decode_early_stop and "early_stop" in inspect.signature(
+            type(model).decode_greedy).parameters:
+        kwargs["early_stop"] = True
+
     @functools.partial(jax.jit, static_argnums=())
     def step(state: TrainState, images, context, rng):
         return model.apply(
@@ -112,7 +118,7 @@ def make_decode_step(cfg: Config, model, latent_mode: bool) -> Callable:
             images, context, max_decode_length=cfg.max_decode_length,
             latent_mode=latent_mode,
             method=type(model).decode_greedy,
-            rngs={"latent": rng})
+            rngs={"latent": rng}, **kwargs)
 
     return step
 
