@@ -194,6 +194,10 @@ def add_config_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     parser.add_argument("--remat", action="store_true")
     parser.add_argument("--guard_nonfinite", action="store_true")
     parser.add_argument("--debug_nans", action="store_true")
+    parser.add_argument("--decode_early_stop", action="store_true")
+    parser.add_argument("--no_checkpoint_at_end", dest="checkpoint_at_end",
+                        action="store_false")
+    parser.set_defaults(checkpoint_at_end=True)
     parser.add_argument("--image_encoder", type=str,
                         default=defaults.image_encoder,
                         choices=("resnet18", "vit_b16"))
