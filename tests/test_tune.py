@@ -1,0 +1,100 @@
+"""ASHA tune-runner tests with a fake trial function (no model)."""
+
+import json
+import os
+
+import pytest
+
+from blt_vqg_tpu.core.config import Config
+from blt_vqg_tpu.train.tune import (ASHAScheduler, default_search_space,
+                                    run_tune, sample_config)
+
+
+class TestASHAScheduler:
+    def test_rungs_geometric(self):
+        s = ASHAScheduler(grace_period=100, max_t=1000, eta=3)
+        assert s.rungs == [100, 300, 900, 1000]
+
+    def test_top_third_survives(self):
+        s = ASHAScheduler(grace_period=10, max_t=100, eta=3)
+        # nine results at rung 10: only values in the best third continue
+        outcomes = [s.report(10, float(v)) for v in range(9)]
+        # the k-th best threshold moves as results stream in (async ASHA):
+        # the first result always continues; late bad results don't
+        assert outcomes[0] is True
+        assert outcomes[-1] is False
+
+    def test_next_rung(self):
+        s = ASHAScheduler(grace_period=10, max_t=100, eta=3)
+        assert s.next_rung(0) == 10
+        assert s.next_rung(10) == 30
+        assert s.next_rung(95) == 100
+        assert s.next_rung(100) is None
+
+
+class TestSampleConfig:
+    def test_overrides_within_space(self):
+        import random
+        cfg, overrides = sample_config(Config(), default_search_space(),
+                                       random.Random(0))
+        assert cfg.hidden_dim in (256, 512, 1024)
+        assert 1e-5 <= cfg.lr <= 1e-3
+        assert set(overrides) == {"hidden_dim", "latent_dim", "pwffn_dim",
+                                  "num_layers", "num_heads", "lr",
+                                  "batch_size"}
+
+
+class TestRunTune:
+    def test_best_trial_selected_and_resumable(self, tmp_path):
+        base = Config(num_pretraining_steps=10, total_training_steps=30)
+        calls = []
+
+        def fake_trial(cfg, trial_dir, stop_at_step):
+            calls.append((trial_dir, stop_at_step))
+            # trial quality keyed off the sampled lr: lower lr -> lower loss
+            return float(cfg.lr)
+
+        result = run_tune(base, fake_trial, num_samples=3, seed=0,
+                          output_dir=str(tmp_path), eta=3)
+        assert result["best_trial"] in (0, 1, 2)
+        # every trial got at least its grace-period run
+        assert len({c[0] for c in calls}) == 3
+        # trials resume (stop_at_step grows monotonically per trial)
+        per_trial = {}
+        for d, s in calls:
+            per_trial.setdefault(d, []).append(s)
+        for steps in per_trial.values():
+            assert steps == sorted(steps)
+        # artifacts
+        assert os.path.exists(os.path.join(str(tmp_path), "analysis.json"))
+        best = json.load(open(os.path.join(str(tmp_path), "analysis.json")))
+        assert best["best_metric"] == min(
+            t["metric"] for t in best["trials"] if t["metric"] is not None)
+
+
+class TestRngStream:
+    def test_deterministic_across_instances(self):
+        import numpy as np
+        import jax
+        from blt_vqg_tpu.core.rng import RngStream
+        a = RngStream(7).key(42)
+        b = RngStream(7).key(42)
+        np.testing.assert_array_equal(jax.random.key_data(a),
+                                      jax.random.key_data(b))
+
+    def test_named_streams_independent(self):
+        import jax
+        import numpy as np
+        from blt_vqg_tpu.core.rng import RngStream
+        keys = RngStream(0).step_keys(3, "dropout", "latent")
+        assert set(keys) == {"dropout", "latent"}
+        assert not np.array_equal(jax.random.key_data(keys["dropout"]),
+                                  jax.random.key_data(keys["latent"]))
+
+    def test_step_separation(self):
+        import jax
+        import numpy as np
+        from blt_vqg_tpu.core.rng import RngStream
+        s = RngStream(0)
+        assert not np.array_equal(jax.random.key_data(s.key(1)),
+                                  jax.random.key_data(s.key(2)))
