@@ -8,3 +8,7 @@ from blt_vqg_tpu.ops.transformer import (
 )
 from blt_vqg_tpu.ops.latent import Latent, gaussian_kld
 from blt_vqg_tpu.ops.mlp import MLP
+from blt_vqg_tpu.ops.resnet import EncoderCNN, ResNet18Backbone
+from blt_vqg_tpu.ops.vit import ViTEncoder
+from blt_vqg_tpu.ops.rnn import RNNEncoder, RNNDecoder
+from blt_vqg_tpu.ops.ring_attention import ring_attention
