@@ -23,6 +23,9 @@ def main(argv=None):
     parser.add_argument("--num-samples", type=int, default=4)
     parser.add_argument("--tune-dir", type=str, default="runs/tune")
     parser.add_argument("--tune-seed", type=int, default=0)
+    parser.add_argument("--tune-space", type=str, default="reference",
+                        choices=("reference", "tiny"),
+                        help="'tiny' smoke-tests the HPO loop itself")
     parser.add_argument("--max_examples", type=int, default=None)
     args = parser.parse_args(argv)
     base_cfg = config_from_args(args)
@@ -32,7 +35,8 @@ def main(argv=None):
     from blt_vqg_tpu.data.loader import make_loader
     from blt_vqg_tpu.text.vocabulary import load_vocab
     from blt_vqg_tpu.train.trainer import Trainer
-    from blt_vqg_tpu.train.tune import run_tune
+    from blt_vqg_tpu.train.tune import (run_tune, default_search_space,
+                                        tiny_search_space)
 
     vocab = load_vocab(base_cfg.vocab)
     cat2name = (base_cfg.cat2name if os.path.exists(base_cfg.cat2name)
@@ -51,20 +55,25 @@ def main(argv=None):
             {k: first[k] for k in ("images", "context", "posterior",
                                    "target")},
             resume=True)  # promoted trials resume from their checkpoint
-        state = trainer.fit(state, train_iter,
-                            lambda: make_loader(val_ds, cfg.batch_size,
-                                                cfg.input_mode, shuffle=False,
-                                                epochs=1),
+        # drop_remainder=False: a sampled batch size may exceed a small
+        # eval split; a one-off recompile for the tail batch beats losing
+        # the whole split
+        def val_loader():
+            return make_loader(val_ds, cfg.batch_size, cfg.input_mode,
+                               shuffle=False, epochs=1,
+                               drop_remainder=False)
+
+        state = trainer.fit(state, train_iter, val_loader,
                             max_steps=stop_at_step)
         latent = int(state.step) >= cfg.num_pretraining_steps
-        val = trainer.validate(
-            state, make_loader(val_ds, cfg.batch_size, cfg.input_mode,
-                               shuffle=False, epochs=1),
-            latent, int(state.step), print_samples=0)
+        val = trainer.validate(state, val_loader(), latent, int(state.step),
+                               print_samples=0)
         return float(val["loss"])
 
+    space = (tiny_search_space() if args.tune_space == "tiny"
+             else default_search_space())
     run_tune(base_cfg, train_trial_fn, num_samples=args.num_samples,
-             seed=args.tune_seed, output_dir=args.tune_dir)
+             space=space, seed=args.tune_seed, output_dir=args.tune_dir)
     return 0
 
 

@@ -203,7 +203,13 @@ class Trainer:
             for k, v in metrics.items():
                 sums[k] = sums.get(k, 0.0) + float(v)
             count += 1
-        means = {k: v / max(count, 1) for k, v in sums.items()}
+        if count == 0:
+            # e.g. a tuned batch size larger than the eval split with
+            # drop_remainder — surface it instead of KeyErroring downstream
+            log.warning("validation saw 0 batches (batch_size %d vs split "
+                        "size); returning inf loss", cfg.batch_size)
+            return {"loss": float("inf")}
+        means = {k: v / count for k, v in sums.items()}
         self.writer.write(step, means, prefix="val")
 
         # --- greedy decode report on the first val batch

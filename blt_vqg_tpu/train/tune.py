@@ -52,6 +52,19 @@ def default_search_space():
     ]
 
 
+def tiny_search_space():
+    """Smoke-test space: same dimensions, toy sizes."""
+    return [
+        Choice("hidden_dim", [16, 32]),
+        Choice("latent_dim", [8, 16]),
+        Choice("pwffn_dim", [16, 32]),
+        Choice("num_layers", [1]),
+        Choice("num_heads", [2]),
+        LogUniform("lr", 1e-4, 1e-3),
+        Choice("batch_size", [8]),
+    ]
+
+
 def sample_config(base_cfg, space, rng: random.Random):
     overrides = {}
     for dim in space:
