@@ -2,8 +2,10 @@
 
 Capability-parity with the reference's ``CheckpointEveryNSteps`` Lightning
 callback (reference train_iq.py:275-309: full checkpoint every N steps named
-``{prefix}_epoch_global_step.ckpt``) plus resume, built on Orbax with a
-numpy-npz fallback:
+``{prefix}_epoch_global_step.ckpt``) plus resume.  Storage is a flat
+numpy-npz archive per step (dependency-free, byte-stable across JAX
+versions; an Orbax backend is deliberately not used — the state is a small
+flat pytree and npz keeps restore template-driven and sharding-agnostic):
 
 - saves params + batch_stats + opt_state + step + kliter + the Config JSON
   sidecar (the reference's args.json, old_train_iq.py:287-288);

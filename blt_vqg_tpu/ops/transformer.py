@@ -74,7 +74,8 @@ class EncoderLayer(nn.Module):
         self.dropout = nn.Dropout(self.layer_dropout)
 
     def __call__(self, x, mask=None, deterministic: bool = True):
-        y = self.mha(self.ln_mha(x), self.ln_mha(x), mask, deterministic)
+        xn = self.ln_mha(x)
+        y = self.mha(xn, xn, mask, deterministic)
         x = self.dropout(x + y, deterministic=deterministic)
         y = self.ffn(self.ln_ffn(x), deterministic)
         return self.dropout(x + y, deterministic=deterministic)

@@ -5,7 +5,7 @@ The reference applies regex cleanup then nltk's Punkt/Treebank word_tokenize
 implement a self-contained Treebank-style splitter (no external model files —
 TPU pods have no business downloading nltk data at import time).  For the VQA
 question/answer distribution (lowercased short English sentences) the output
-matches nltk word_tokenize; golden tests in tests/test_tokenizer.py pin the
+matches nltk word_tokenize; golden tests in tests/test_text.py pin the
 behavior.
 """
 

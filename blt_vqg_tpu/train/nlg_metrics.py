@@ -2,17 +2,26 @@
 
 Replaces the reference's external ``nlg_eval`` submodule (Java METEOR jar +
 pycocoevalcap, reference utils/__init__.py:2, train_iq.py:41, 196) with
-self-contained numpy implementations of the standard formulas:
+self-contained numpy/python implementations pinned to the pycocoevalcap
+formulas (fractional golden tests in tests/test_nlg_goldens.py, cross-checked
+against nltk/sacrebleu/rouge_score where formulas coincide):
 
 - BLEU-n: corpus-level modified n-gram precision with brevity penalty
-  (Papineni et al. 2002), smoothing-free like pycocoevalcap's default;
-- ROUGE-L: LCS-based F-measure with beta=1.2 (Lin 2004, pycocoevalcap
-  parameterization);
-- CIDEr: TF-IDF-weighted n-gram cosine similarity, n=1..4, sigma=6
-  length-penalty Gaussian (Vedantam et al. 2015);
+  (Papineni et al. 2002).  Matches pycocoevalcap's BleuScorer exactly:
+  UNSMOOTHED, with its tiny=1e-15 / small=1e-9 numerical fudges — a zero
+  n-gram precision makes the cumulative score collapse to ~0 rather than
+  being epsilon-floored;
+- ROUGE-L: LCS-based F-measure with beta=1.2, taking max precision and max
+  recall *independently* across references (pycocoevalcap Rouge.calc_score);
+- CIDEr: TF-IDF n-gram cosine similarity, n=1..4, sigma=6 length-penalty
+  Gaussian, using RAW term counts (not length-normalized) and
+  ref_len=log(num images), exactly as pycocoevalcap's CiderScorer — with a
+  single image the IDF log collapses to 0 and CIDEr is 0 by construction;
 - METEOR-lite: harmonic mean of unigram precision/recall (alpha=0.9) with a
-  fragmentation penalty (gamma=0.5, beta=3) on exact matches — the exact-
-  match core of METEOR without WordNet synonymy (no Java, no data files).
+  fragmentation penalty (gamma=0.5, beta=3) on exact matches — the
+  exact-match core of METEOR without WordNet synonymy / the Java jar.  This
+  one is an approximation, NOT pycocoevalcap-equal; it is golden-pinned to
+  its own documented formula.
 
 API mirrors NLGEval.compute_metrics(ref_list, hyp_list) → dict of floats.
 """
@@ -23,6 +32,9 @@ import math
 from collections import Counter, defaultdict
 from typing import Dict, List, Sequence
 
+_TINY = 1e-15  # pycocoevalcap bleu_scorer numerator fudge
+_SMALL = 1e-9  # pycocoevalcap bleu_scorer denominator fudge
+
 
 def _ngrams(tokens: Sequence[str], n: int) -> Counter:
     return Counter(tuple(tokens[i:i + n]) for i in range(len(tokens) - n + 1))
@@ -31,14 +43,20 @@ def _ngrams(tokens: Sequence[str], n: int) -> Counter:
 # ----------------------------------------------------------------- BLEU
 def corpus_bleu(refs_per_hyp: List[List[List[str]]],
                 hyps: List[List[str]], max_n: int = 4) -> List[float]:
-    """Returns [BLEU-1, ..., BLEU-max_n] (cumulative, geometric mean)."""
+    """Returns [BLEU-1, ..., BLEU-max_n] (cumulative, geometric mean).
+
+    pycocoevalcap-exact: unsmoothed corpus statistics; cumulative BLEU-k is
+    (prod_{n<=k} p_n)^(1/k) with p_n = (clipped_n + tiny)/(total_n + small);
+    brevity penalty exp(1 - 1/ratio) when ratio=(hyp_len+tiny)/(ref_len+small)
+    is < 1, using per-segment *closest* reference length (ties → shorter).
+    """
     clipped = [0] * max_n
     totals = [0] * max_n
     hyp_len = 0
     ref_len = 0
     for refs, hyp in zip(refs_per_hyp, hyps):
         hyp_len += len(hyp)
-        # closest reference length (ties → shorter), standard BLEU
+        # closest reference length (ties → shorter), pycocoevalcap 'closest'
         ref_len += min((abs(len(r) - len(hyp)), len(r)) for r in refs)[1]
         for n in range(1, max_n + 1):
             hyp_ng = _ngrams(hyp, n)
@@ -48,18 +66,14 @@ def corpus_bleu(refs_per_hyp: List[List[List[str]]],
                     max_ref[ng] = max(max_ref[ng], c)
             clipped[n - 1] += sum(min(c, max_ref[ng])
                                   for ng, c in hyp_ng.items())
-            totals[n - 1] += max(sum(hyp_ng.values()), 0)
-    bp = 1.0 if hyp_len > ref_len else (
-        math.exp(1 - ref_len / hyp_len) if hyp_len > 0 else 0.0)
+            totals[n - 1] += sum(hyp_ng.values())
+    ratio = (hyp_len + _TINY) / (ref_len + _SMALL)
+    bp = math.exp(1 - 1 / ratio) if ratio < 1 else 1.0
     out = []
-    log_sum = 0.0
+    prod = 1.0
     for n in range(1, max_n + 1):
-        p = clipped[n - 1] / totals[n - 1] if totals[n - 1] > 0 else 0.0
-        if p == 0.0:
-            # epsilon smoothing so cumulative BLEU degrades instead of zeroing
-            p = 1e-12
-        log_sum += math.log(p)
-        out.append(bp * math.exp(log_sum / n))
+        prod *= (clipped[n - 1] + _TINY) / (totals[n - 1] + _SMALL)
+        out.append(bp * prod ** (1.0 / n))
     return out
 
 
@@ -79,26 +93,34 @@ def _lcs_len(a: Sequence[str], b: Sequence[str]) -> int:
 
 def rouge_l(refs_per_hyp: List[List[List[str]]], hyps: List[List[str]],
             beta: float = 1.2) -> float:
+    """pycocoevalcap Rouge: max precision and max recall are taken
+    independently across references, then combined into one F-measure."""
     scores = []
     for refs, hyp in zip(refs_per_hyp, hyps):
-        best = 0.0
+        prec_max = 0.0
+        rec_max = 0.0
         for r in refs:
             lcs = _lcs_len(r, hyp)
             if lcs == 0:
                 continue
-            prec = lcs / len(hyp) if hyp else 0.0
-            rec = lcs / len(r) if r else 0.0
-            if prec and rec:
-                f = ((1 + beta ** 2) * prec * rec) / (rec + beta ** 2 * prec)
-                best = max(best, f)
-        scores.append(best)
+            prec_max = max(prec_max, lcs / len(hyp) if hyp else 0.0)
+            rec_max = max(rec_max, lcs / len(r) if r else 0.0)
+        if prec_max > 0 and rec_max > 0:
+            scores.append(((1 + beta ** 2) * prec_max * rec_max)
+                          / (rec_max + beta ** 2 * prec_max))
+        else:
+            scores.append(0.0)
     return sum(scores) / len(scores) if scores else 0.0
 
 
 # ----------------------------------------------------------------- CIDEr
 def cider(refs_per_hyp: List[List[List[str]]], hyps: List[List[str]],
           max_n: int = 4, sigma: float = 6.0) -> float:
-    # document frequency over reference sets
+    """pycocoevalcap CiderScorer: vec[n][ng] = raw_count * (log(D) - log(df)),
+    cosine similarity with min-clipping against the reference vector, Gaussian
+    length penalty exp(-(len_h - len_r)^2 / 2σ²), mean over n, ×10."""
+    # document frequency: an n-gram counts once per image whose reference
+    # set contains it
     df: List[defaultdict] = [defaultdict(float) for _ in range(max_n)]
     for refs in refs_per_hyp:
         for n in range(1, max_n + 1):
@@ -107,38 +129,34 @@ def cider(refs_per_hyp: List[List[List[str]]], hyps: List[List[str]],
                 seen.update(_ngrams(r, n).keys())
             for ng in seen:
                 df[n - 1][ng] += 1.0
-    num_docs = max(len(refs_per_hyp), 1)
-    log_docs = math.log(max(num_docs, 1))
+    log_docs = math.log(max(len(refs_per_hyp), 1))
 
     def tfidf_vec(tokens, n):
-        counts = _ngrams(tokens, n)
-        length = max(sum(counts.values()), 1)
         vec = {}
         norm = 0.0
-        for ng, c in counts.items():
+        for ng, c in _ngrams(tokens, n).items():
             idf = log_docs - math.log(max(df[n - 1].get(ng, 0.0), 1.0))
-            w = (c / length) * idf
+            w = float(c) * idf  # raw count, NOT length-normalized
             vec[ng] = w
             norm += w * w
         return vec, math.sqrt(norm)
 
     scores = []
     for refs, hyp in zip(refs_per_hyp, hyps):
-        score_n = []
-        for n in range(1, max_n + 1):
-            hv, hnorm = tfidf_vec(hyp, n)
-            s = 0.0
-            for r in refs:
+        score_n = [0.0] * max_n
+        for r in refs:
+            delta = len(hyp) - len(r)
+            gauss = math.exp(-(delta ** 2) / (2 * sigma ** 2))
+            for n in range(1, max_n + 1):
+                hv, hnorm = tfidf_vec(hyp, n)
                 rv, rnorm = tfidf_vec(r, n)
-                if hnorm == 0 or rnorm == 0:
-                    continue
-                sim = sum(min(hv.get(ng, 0.0), w) * w  # clipped like Vedantam
-                          for ng, w in rv.items()) / (hnorm * rnorm)
-                delta = len(hyp) - len(r)
-                sim *= math.exp(-(delta ** 2) / (2 * sigma ** 2))
-                s += sim
-            score_n.append(10.0 * s / max(len(refs), 1))
-        scores.append(sum(score_n) / max_n)
+                s = sum(min(w, rv.get(ng, 0.0)) * rv.get(ng, 0.0)
+                        for ng, w in hv.items())
+                if hnorm != 0 and rnorm != 0:
+                    s /= hnorm * rnorm
+                score_n[n - 1] += s * gauss
+        per_image = sum(score_n) / max_n / max(len(refs), 1)
+        scores.append(10.0 * per_image)
     return sum(scores) / len(scores) if scores else 0.0
 
 
@@ -146,6 +164,8 @@ def cider(refs_per_hyp: List[List[List[str]]], hyps: List[List[str]],
 def meteor_lite(refs_per_hyp: List[List[List[str]]], hyps: List[List[str]],
                 alpha: float = 0.9, beta_: float = 3.0, gamma: float = 0.5
                 ) -> float:
+    """Exact-match METEOR core (no WordNet): F_alpha × (1 − γ·frag^β), best
+    reference wins.  An approximation of the Java scorer, not a clone."""
     scores = []
     for refs, hyp in zip(refs_per_hyp, hyps):
         best = 0.0
