@@ -31,7 +31,8 @@ BASELINE_CACHE = os.path.join(REPO, "benchmarks", "torch_baseline.json")
 BATCH = 64
 IMAGE = 224
 WARMUP = 3
-TIMED = 20
+TIMED = 50
+REPEATS = 3  # best-of-N: the TPU tunnel adds heavy host-side jitter
 
 
 def log(*a):
@@ -47,18 +48,42 @@ def _flagship_cfg():
         log_grad_norm=False)  # telemetry off in the benchmark
 
 
+def _slope_time(run_k, k1: int, k2: int, repeats: int = REPEATS) -> float:
+    """Seconds per unit via a two-point slope: times ``run_k(k)`` (which must
+    END with a host readback of a scalar that depends on all k units) at two
+    sizes and divides the difference.  The tunnel's ~35ms dispatch+readback
+    round trip appears in both measurements and cancels — unlike
+    block_until_ready, which this image's tunneled backend does not honor
+    (it returns before device completion; verified by impossible >1 PFLOP/s
+    readings without a readback)."""
+    run_k(1)  # warm
+    best = None
+    for _ in range(repeats):
+        t0 = time.time()
+        run_k(k1)
+        t1 = time.time() - t0
+        t0 = time.time()
+        run_k(k2)
+        t2 = time.time() - t0
+        cand = (t2 - t1) / (k2 - k1)
+        best = cand if best is None else min(best, cand)
+    return max(best, 1e-9)
+
+
 def bench_jax() -> dict:
     import jax
+    import jax.numpy as jnp
     from __graft_entry__ import _example_batch
     from blt_vqg_tpu.models.iq import IQ
     from blt_vqg_tpu.train.state import create_train_state
-    from blt_vqg_tpu.train.step import make_train_step, make_decode_step
+    from blt_vqg_tpu.train.step import (make_decode_step, make_multi_step,
+                                        make_train_step)
 
     cfg = _flagship_cfg()
     vocab_size = 12000  # typical VQA vocab scale
     model = IQ(cfg, vocab_size)
-    batch = _example_batch(cfg, vocab_size, BATCH)
-    batch = {k: jax.device_put(v) for k, v in batch.items()}
+    batch_np = _example_batch(cfg, vocab_size, BATCH)
+    batch = {k: jax.device_put(v) for k, v in batch_np.items()}
 
     log("jax: init params ...")
     state = create_train_state(cfg, model, jax.random.key(0), batch)
@@ -67,31 +92,80 @@ def bench_jax() -> dict:
     log("jax: compiling train step ...")
     t0 = time.time()
     state, m = step(state, batch, jax.random.key(1))
-    jax.block_until_ready(m["loss"])
+    _ = float(m["loss"])
     compile_s = time.time() - t0
-    for i in range(WARMUP):
-        state, m = step(state, batch, jax.random.key(i))
-    jax.block_until_ready(m["loss"])
 
-    t0 = time.time()
-    for i in range(TIMED):
-        state, m = step(state, batch, jax.random.key(i))
-    jax.block_until_ready(m["loss"])
-    dt = time.time() - t0
-    train_sps = BATCH * TIMED / dt
+    # donated state threads through every timed section via this holder
+    # (donation invalidates the buffers a name pointed to before the call)
+    S = {"s": state}
+    del state
 
-    # greedy decode throughput (batch questions/sec)
-    dec = make_decode_step(cfg, model, latent_mode=True)
-    out = dec(state, batch["images"], batch["context"], jax.random.key(2))
-    jax.block_until_ready(out["tokens"])
-    t0 = time.time()
-    for i in range(5):
-        out = dec(state, batch["images"], batch["context"], jax.random.key(i))
-    jax.block_until_ready(out["tokens"])
-    decode_qps = BATCH * 5 / (time.time() - t0)
+    # ---- single-dispatch train loop (the Trainer's steps_per_dispatch=1
+    # path): steady-state seconds/step of a pipelined dispatch stream,
+    # readback-synchronized
+    def run_train(k):
+        s = S["s"]
+        for i in range(k):
+            s, mm = step(s, batch, jax.random.key(i))
+        S["s"] = s
+        return float(mm["loss"])
 
-    # throughput-config scaling point (the parity config's batch 64 leaves
-    # the MXU partly idle; batch 256 is the serving/training sweet spot)
+    sec = _slope_time(run_train, 5, 25)
+    train_sps_single = BATCH / sec
+    step_ms = 1000 * sec
+
+    # ---- production train loop (Trainer steps_per_dispatch>1, the
+    # headline): G steps per jitted lax.scan dispatch.  G DISTINCT batches,
+    # host-built (identical batches would make the frozen backbone
+    # loop-invariant and XLA would hoist it out of the scan).
+    G = 10
+    multi = make_multi_step(cfg, latent_mode=True)
+    rng = np.random.RandomState(1)
+    stacked_np = {
+        k: np.stack([v[rng.permutation(BATCH)] for _ in range(G)])
+        for k, v in batch_np.items()}
+    stacked_np["images"] = (stacked_np["images"]
+                            + rng.rand(G, 1, 1, 1, 1).astype(np.float32)
+                            * 0.01)
+    stacked = {k: jax.device_put(v) for k, v in stacked_np.items()}
+
+    def run_multi(k):
+        s = S["s"]
+        for i in range(k):
+            s, mm = multi(s, stacked, jax.random.key(i))
+        S["s"] = s
+        return float(mm["loss"])
+
+    sec = _slope_time(run_multi, 2, 7)
+    train_sps = BATCH * G / sec
+    del stacked
+    S.clear()
+
+    # ---- greedy decode throughput (batch questions/sec).  Headline is the
+    # SERVING decode (fused-QKV KV-cache scan, no per-step top-6 probe —
+    # the probe is a validation-printer aid, reference train_iq.py:189-193);
+    # the probed parity decode is reported alongside.
+    # NOTE: the train sections donated their state; build a fresh one.
+    state = create_train_state(cfg, model, jax.random.key(0), batch)
+    tok_sum = jax.jit(lambda t: jnp.sum(t))
+
+    def time_decode(with_probe):
+        dec = make_decode_step(cfg, model, latent_mode=True,
+                               with_probe=with_probe)
+
+        def run_dec(k):
+            for i in range(k):
+                out = dec(state, batch["images"], batch["context"],
+                          jax.random.key(i))
+            return float(tok_sum(out["tokens"]))
+
+        return BATCH / _slope_time(run_dec, 3, 13)
+
+    decode_qps = time_decode(with_probe=False)
+    decode_qps_probe = time_decode(with_probe=True)
+
+    # ---- throughput-config scaling point (batch 64 leaves the MXU partly
+    # idle at this model size; batch 256 is the serving/training sweet spot)
     big_b = 256
     cfg256 = cfg.replace(batch_size=big_b)
     model256 = IQ(cfg256, vocab_size)
@@ -100,25 +174,25 @@ def bench_jax() -> dict:
     state256 = create_train_state(cfg256, model256, jax.random.key(0),
                                   batch256)
     step256 = make_train_step(cfg256, latent_mode=True)
-    state256, m = step256(state256, batch256, jax.random.key(1))
-    jax.block_until_ready(m["loss"])
-    for i in range(WARMUP):
-        state256, m = step256(state256, batch256, jax.random.key(i))
-    jax.block_until_ready(m["loss"])
-    t0 = time.time()
-    for i in range(TIMED):
-        state256, m = step256(state256, batch256, jax.random.key(i))
-    jax.block_until_ready(m["loss"])
-    train_sps_256 = big_b * TIMED / (time.time() - t0)
+
+    def run_256(k, st=[state256]):
+        s = st[0]
+        for i in range(k):
+            s, mm = step256(s, batch256, jax.random.key(i))
+        st[0] = s
+        return float(mm["loss"])
+
+    train_sps_256 = big_b / _slope_time(run_256, 3, 13)
 
     platform = jax.devices()[0].platform
     log(f"jax[{platform}]: {train_sps:.1f} samples/s train (b64), "
-        f"{train_sps_256:.1f} (b256), {decode_qps:.1f} q/s decode, "
-        f"compile {compile_s:.1f}s")
-    return {"train_sps": train_sps, "train_sps_256": train_sps_256,
-            "decode_qps": decode_qps,
+        f"{train_sps_256:.1f} (b256), {decode_qps:.1f} q/s serving decode "
+        f"({decode_qps_probe:.1f} probed), compile {compile_s:.1f}s")
+    return {"train_sps": train_sps, "train_sps_single": train_sps_single,
+            "train_sps_256": train_sps_256,
+            "decode_qps": decode_qps, "decode_qps_probe": decode_qps_probe,
             "platform": platform, "compile_s": compile_s,
-            "step_ms": 1000 * dt / TIMED}
+            "step_ms": step_ms}
 
 
 def bench_torch_reference() -> float:
@@ -277,9 +351,16 @@ def main():
         "baseline_value": round(baseline_sps, 2) if baseline_sps else None,
         "platform": jx["platform"],
         "step_ms": round(jx["step_ms"], 2),
+        "train_samples_per_sec_single_dispatch": round(jx["train_sps_single"], 2),
         "train_samples_per_sec_batch256": round(jx["train_sps_256"], 2),
         "decode_questions_per_sec": round(jx["decode_qps"], 2),
+        "decode_questions_per_sec_probed": round(jx["decode_qps_probe"], 2),
         "compile_s": round(jx["compile_s"], 1),
+        "methodology": "readback-synchronized two-point slope (this box's "
+        "tunneled backend returns from block_until_ready before device "
+        "completion, so BENCH_r01-style timed loops measured dispatch "
+        "enqueue rate, not device throughput — see benchmarks/METHODOLOGY.md"
+        "; r01 numbers are not comparable)",
     }))
 
 

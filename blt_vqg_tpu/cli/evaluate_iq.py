@@ -69,6 +69,7 @@ def main(argv=None):
              latent)
 
     preds, gts = [], []
+    beam_step = None  # jitted once on first use, reused across batches
     idx2word = vocab.idx2word
     for bi, batch in enumerate(loader):
         if args.max_batches and bi >= args.max_batches:
@@ -80,13 +81,11 @@ def main(argv=None):
             context = np.asarray(batch["context"])
         beam = args.beam_size or cfg.beam_size
         if beam > 1:
-            from blt_vqg_tpu.models.iq import IQ
-            out = trainer.model.apply(
-                {"params": state.params, "batch_stats": state.batch_stats},
-                images, context, beam_size=beam,
-                max_decode_length=cfg.max_decode_length,
-                latent_mode=latent, method=IQ.decode_beam,
-                rngs={"latent": trainer.rngs.key(bi)})
+            if beam_step is None:
+                from blt_vqg_tpu.train.step import make_beam_decode_step
+                beam_step = make_beam_decode_step(
+                    cfg.replace(beam_size=beam), trainer.model, latent)
+            out = beam_step(state, images, context, trainer.rngs.key(bi))
         else:
             out = trainer._decode_steps[latent](
                 state, images, context, trainer.rngs.key(bi))

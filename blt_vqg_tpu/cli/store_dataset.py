@@ -51,7 +51,14 @@ def save_dataset(image_dir, questions_path, annotations_path, vocab, ans2cat,
                  output, im_size=224, max_q_length=20, max_a_length=4,
                  split="train", uint8=False):
     import h5py
-    from blt_vqg_tpu.text.tokenizer import process_text
+    from blt_vqg_tpu.text.tokenizer import process_text as word_process_text
+
+    if hasattr(vocab, "merges"):  # BPE tokenizer (text/bpe.py)
+        def process_text(text, _vocab, max_length):
+            ids = vocab.encode(text, max_length=max_length)
+            return np.asarray(ids, np.int32), len(ids)
+    else:
+        process_text = word_process_text
 
     with open(annotations_path) as f:
         annos = json.load(f)
@@ -123,6 +130,13 @@ def main(argv=None):
     parser.add_argument("--val", action="store_true")
     parser.add_argument("--uint8", action="store_true",
                         help="store uint8 images (4x smaller/faster)")
+    parser.add_argument("--tokenizer", type=str, default="word",
+                        choices=("word", "bpe"),
+                        help="'word': reference vocab (vocab.py:71-113); "
+                        "'bpe': byte-level BPE (text/bpe.py, BASELINE "
+                        "config 4) — model vocab_size comes from the "
+                        "trained tokenizer")
+    parser.add_argument("--bpe-vocab-size", type=int, default=8192)
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
 
@@ -139,8 +153,19 @@ def main(argv=None):
                for cat in cat2ans for ans in cat2ans[cat]}
 
     if args.val:
-        vocab = load_vocab(args.vocab_path)
+        vocab = load_vocab(args.vocab_path)  # word or BPE, sniffed
         split = "val"
+    elif args.tokenizer == "bpe":
+        from blt_vqg_tpu.text.bpe import BPETokenizer
+        with open(args.questions) as f:
+            corpus = [q["question"] for q in json.load(f)["questions"]]
+        corpus += [ans for anss in cat2ans.values() for ans in anss] + cats
+        vocab = BPETokenizer()
+        vocab.train(corpus, vocab_size=args.bpe_vocab_size)
+        os.makedirs(os.path.dirname(args.vocab_path) or ".", exist_ok=True)
+        vocab.save(args.vocab_path)
+        log.info("trained BPE tokenizer: %d tokens", len(vocab))
+        split = "train"
     else:
         vocab = build_vocab(args.questions, args.cat2ans, threshold=4,
                             save_path=args.vocab_path)

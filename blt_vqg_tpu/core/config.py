@@ -96,6 +96,15 @@ class Config:
     rnn_cell: str = "lstm"            # rnn family: "lstm" | "gru"
     compat_pad_seed: bool = True      # seed greedy decode with <pad> like the
                                       # reference (iq.py:129); False uses <start>
+    steps_per_dispatch: int = 1       # >1: run G train steps per jitted call
+                                      # (lax.scan) — amortizes host dispatch
+                                      # latency G-fold (train/step.py
+                                      # make_multi_step); chunks auto-align
+                                      # to val/ckpt/phase boundaries
+    compat_trailing_relu: bool = False  # reproduce the reference FFN's
+                                      # trailing ReLU+dropout quirk
+                                      # (transformer_layers.py:400-408) —
+                                      # used by golden-parity runs
 
     # ------------------------------------------------------------------
     def replace(self, **kw) -> "Config":
@@ -195,6 +204,8 @@ def add_config_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     parser.add_argument("--guard_nonfinite", action="store_true")
     parser.add_argument("--debug_nans", action="store_true")
     parser.add_argument("--decode_early_stop", action="store_true")
+    parser.add_argument("--steps_per_dispatch", type=int,
+                        default=defaults.steps_per_dispatch)
     parser.add_argument("--no_checkpoint_at_end", dest="checkpoint_at_end",
                         action="store_false")
     parser.set_defaults(checkpoint_at_end=True)

@@ -62,7 +62,8 @@ class IQ(nn.Module):
             attention_dropout=cfg.attention_dropout,
             relu_dropout=cfg.relu_dropout, layer_dropout=cfg.layer_dropout,
             input_dropout=cfg.input_dropout, dtype=dtype,
-            use_pallas=cfg.use_pallas_attention, remat=cfg.remat)
+            use_pallas=cfg.use_pallas_attention, remat=cfg.remat,
+            compat_trailing_relu=cfg.compat_trailing_relu)
         # context encoder ("encoder") + posterior encoder ("r_encoder"),
         # reference encoder_transformer.py:12-19
         self.context_encoder = TransformerEncoder(**enc_kw, name="context_encoder")
@@ -309,7 +310,8 @@ class IQ(nn.Module):
     # ------------------------------------------------------------------
     def decode_greedy(self, images: jnp.ndarray, context: jnp.ndarray,
                       max_decode_length: int = 50, latent_mode: bool = False,
-                      early_stop: bool = False) -> Dict[str, jnp.ndarray]:
+                      early_stop: bool = False, with_probe: bool = True
+                      ) -> Dict[str, jnp.ndarray]:
         """Greedy decoding with a KV cache under ``lax.scan``.
 
         Semantics of reference iq.py:117-152: encode context once, sample z
@@ -323,6 +325,10 @@ class IQ(nn.Module):
         are ``<pad>``), but a trained model decoding ~10-token questions
         does ~5× fewer steps than the fixed 51-step scan.  The reference has
         no equivalent (its loop always runs max_decode_length+1 re-encodes).
+
+        ``with_probe=False`` is the serving path: it skips the per-step
+        softmax + top-6 top_k over the vocab (a validation-printer debugging
+        aid, reference train_iq.py:189-193) and returns only ``tokens``.
         """
         cfg = self.cfg
         image_features = self.encoder_cnn(images, train=False)
@@ -352,26 +358,37 @@ class IQ(nn.Module):
                                             src_mask)
             logits_t = self.output_proj(y_t[:, 0].astype(jnp.float32))
             next_token = jnp.argmax(logits_t, axis=-1).astype(jnp.int32)
+            if not with_probe:
+                return next_token, caches, None, None
             probs = jax.nn.softmax(logits_t, axis=-1)
             top_probs, top_tokens = jax.lax.top_k(probs, 6)
             return next_token, caches, top_tokens, top_probs
 
         if not early_stop:
+            if with_probe:
+                def body(carry, pos):
+                    token, caches = carry
+                    next_token, caches, top_tokens, top_probs = one_step(
+                        token, caches, pos)
+                    return (next_token, caches), (next_token, top_tokens,
+                                                  top_probs)
+
+                _, (tokens, top_tokens, top_probs) = jax.lax.scan(
+                    body, (seed, caches), jnp.arange(steps))
+                # scan stacks along axis 0 → [L, B, ...]; move batch first
+                return {
+                    "tokens": jnp.moveaxis(tokens, 0, 1),
+                    "top_tokens": jnp.moveaxis(top_tokens, 0, 1),
+                    "top_probs": jnp.moveaxis(top_probs, 0, 1),
+                }
+
             def body(carry, pos):
                 token, caches = carry
-                next_token, caches, top_tokens, top_probs = one_step(
-                    token, caches, pos)
-                return (next_token, caches), (next_token, top_tokens,
-                                              top_probs)
+                next_token, caches, _, _ = one_step(token, caches, pos)
+                return (next_token, caches), next_token
 
-            _, (tokens, top_tokens, top_probs) = jax.lax.scan(
-                body, (seed, caches), jnp.arange(steps))
-            # scan stacks along axis 0 → [L, B, ...]; move batch first
-            return {
-                "tokens": jnp.moveaxis(tokens, 0, 1),
-                "top_tokens": jnp.moveaxis(top_tokens, 0, 1),
-                "top_probs": jnp.moveaxis(top_probs, 0, 1),
-            }
+            _, tokens = jax.lax.scan(body, (seed, caches), jnp.arange(steps))
+            return {"tokens": jnp.moveaxis(tokens, 0, 1)}
 
         # -- while_loop variant: exit when every row has emitted <end> --
         out_tokens = jnp.zeros((b, steps), jnp.int32)
@@ -391,10 +408,11 @@ class IQ(nn.Module):
             next_token = jnp.where(done, PAD, next_token)
             out_tokens = jax.lax.dynamic_update_slice_in_dim(
                 out_tokens, next_token[:, None], pos, axis=1)
-            out_top_t = jax.lax.dynamic_update_slice_in_dim(
-                out_top_t, top_tokens[:, None, :], pos, axis=1)
-            out_top_p = jax.lax.dynamic_update_slice_in_dim(
-                out_top_p, top_probs[:, None, :], pos, axis=1)
+            if with_probe:
+                out_top_t = jax.lax.dynamic_update_slice_in_dim(
+                    out_top_t, top_tokens[:, None, :], pos, axis=1)
+                out_top_p = jax.lax.dynamic_update_slice_in_dim(
+                    out_top_p, top_probs[:, None, :], pos, axis=1)
             done = jnp.logical_or(done, next_token == END)
             return (pos + 1, next_token, caches, done,
                     out_tokens, out_top_t, out_top_p)
@@ -403,6 +421,8 @@ class IQ(nn.Module):
                  out_tokens, out_top_t, out_top_p)
         (_, _, _, _, out_tokens, out_top_t, out_top_p) = jax.lax.while_loop(
             cond, wbody, state)
+        if not with_probe:
+            return {"tokens": out_tokens}
         return {"tokens": out_tokens, "top_tokens": out_top_t,
                 "top_probs": out_top_p}
 

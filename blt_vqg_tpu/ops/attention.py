@@ -84,6 +84,11 @@ class MultiHeadAttention(nn.Module):
             if mask is not None:
                 logits = jnp.where(mask, MASK_FILL, logits)
             weights = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+            # interpretability tap (the reference plumbs attn_dist returns,
+            # transformer_layers.py:514, unused upstream): opt in with
+            # model.apply(..., mutable=["intermediates"]) — free otherwise
+            # (DCE removes the sow when intermediates aren't requested)
+            self.sow("intermediates", "attn_weights", weights)
             weights = self.dropout(weights, deterministic=deterministic)
             ctx = jnp.einsum("bhqk,bkhd->bqhd", weights, v)
 
@@ -119,13 +124,23 @@ class MultiHeadAttention(nn.Module):
         <= pos (future slots masked by position index, so cache garbage past
         ``pos`` never contributes).
         Returns (context [B,1,D], new_cache_k, new_cache_v).
+
+        Q/K/V are computed as ONE fused [D, 3D] matmul: the kernel concat is
+        loop-invariant, so XLA hoists it out of the decode scan and the MXU
+        sees a single wide GEMM per layer instead of three skinny ones.
         """
-        k_t = self._split(self.k_proj(q_in))  # [B,1,H,Dh]
-        v_t = self._split(self.v_proj(q_in))
+        wq = self.q_proj.variables["params"]["kernel"]
+        wk = self.k_proj.variables["params"]["kernel"]
+        wv = self.v_proj.variables["params"]["kernel"]
+        w = jnp.concatenate([wq, wk, wv], axis=1).astype(self.dtype)
+        qkv = q_in.astype(self.dtype) @ w                # [B,1,3D]
+        q_f, k_f, v_f = jnp.split(qkv, 3, axis=-1)
+        k_t = self._split(k_f)                            # [B,1,H,Dh]
+        v_t = self._split(v_f)
         cache_k = jax.lax.dynamic_update_slice_in_dim(cache_k, k_t, pos, axis=1)
         cache_v = jax.lax.dynamic_update_slice_in_dim(cache_v, v_t, pos, axis=1)
 
-        q = self._split(self.q_proj(q_in)) * (self.head_dim ** -0.5)
+        q = self._split(q_f) * (self.head_dim ** -0.5)
         logits = jnp.einsum("bqhd,bkhd->bhqk", q, cache_k,
                             preferred_element_type=jnp.float32)
         l = cache_k.shape[1]

@@ -157,6 +157,31 @@ class BPETokenizer:
     def __len__(self) -> int:
         return len(self.token2id)
 
+    # -- Vocabulary-compat surface (text/vocabulary.py API) --------------
+    # These make a BPETokenizer a drop-in for IQDataset / Trainer / the
+    # CLIs: categories map to their FIRST BPE token (one id per category,
+    # the single-token contract the posterior surgery needs,
+    # data/dataset.py:117-118), and decode reports print BPE fragments.
+
+    def __call__(self, word: str) -> int:
+        """Single-token id for ``word`` — its first BPE piece."""
+        return self.encode_word(word)[0]
+
+    def __contains__(self, word: str) -> bool:
+        return True  # open vocabulary: every string byte-encodes
+
+    @property
+    def word2idx(self) -> Dict[str, int]:
+        return self.token2id
+
+    @property
+    def idx2word(self) -> Dict[int, str]:
+        return self.id2token
+
+    def tokens_to_words(self, tokens: Iterable[int]) -> str:
+        """Detokenize, stopping at <end> (Vocabulary.tokens_to_words API)."""
+        return self.decode(int(t) for t in tokens)
+
     # -- persistence ----------------------------------------------------
     def save(self, path: str) -> None:
         with open(path, "w") as f:

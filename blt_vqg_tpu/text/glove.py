@@ -44,3 +44,18 @@ def load_glove_embeddings(
     log.info("GloVe pre-trained rows: %d (%.2f%%)",
              pre_trained, 100.0 * pre_trained / max(vocab_size, 1))
     return table
+
+
+def get_glove_embedding(name: str, embed_size: int, vocab,
+                        cache_dir: str = ".vector_cache") -> np.ndarray:
+    """torchtext-style named-GloVe path (reference
+    utils/train_utils.py:102-120: ``torchtext.vocab.GloVe(name, dim)``).
+
+    Resolves ``{cache_dir}/glove.{name}.{embed_size}d.txt`` — the exact
+    file torchtext's downloader leaves in its .vector_cache — and builds
+    the embedding table from it.  TPU pods never download; the cache file
+    is provisioned offline.  Falls back to random init (with a warning)
+    when the cache is absent, like load_glove_embeddings.
+    """
+    path = os.path.join(cache_dir, f"glove.{name}.{embed_size}d.txt")
+    return load_glove_embeddings(vocab, embed_size, path)

@@ -86,7 +86,17 @@ class Vocabulary:
         return " ".join(words)
 
 
-def load_vocab(vocab_path: str) -> Vocabulary:
+def load_vocab(vocab_path: str):
+    """Loads a tokenizer from JSON — a word Vocabulary (reference
+    train_utils.py:68-79 schema) or, when the file carries a ``merges``
+    table, a byte-level BPETokenizer (text/bpe.py; BASELINE config 4).
+    Both expose the same surface (``__call__``/``__len__``/``idx2word``/
+    ``tokens_to_words``), so callers are tokenizer-agnostic."""
+    with open(vocab_path) as f:
+        data = json.load(f)
+    if "merges" in data:
+        from blt_vqg_tpu.text.bpe import BPETokenizer
+        return BPETokenizer.load(vocab_path)
     v = Vocabulary()
     v.load(vocab_path)
     return v

@@ -34,11 +34,17 @@ def _is_frozen_path(path) -> bool:
 
 
 def make_optimizer(cfg: Config, params: Any) -> optax.GradientTransformation:
+    """Clip + Adam moments; the Noam LR is applied in ``apply_gradients``
+    from the GLOBAL step (exactly the reference's per-step param_group poke,
+    train_iq.py:130, 252-257) — so the phase-boundary Adam restart resets
+    moments but the LR keeps decaying on the global clock, as it does when
+    the reference pokes ``self.trainer.global_step`` into a fresh Adam."""
     label = jax.tree_util.tree_map_with_path(
         lambda path, _: "frozen" if _is_frozen_path(path) else "train", params)
     trainable = optax.chain(
         optax.clip_by_global_norm(cfg.grad_clip),
-        optax.adam(noam_schedule(cfg.hidden_dim, cfg.warmup_steps)),
+        optax.scale_by_adam(),
+        optax.scale(-1.0),
     )
     return optax.multi_transform(
         {"train": trainable, "frozen": optax.set_to_zero()}, label)
@@ -52,10 +58,15 @@ class TrainState(struct.PyTreeNode):
     opt_state: Any
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
     apply_fn: Callable = struct.field(pytree_node=False)
+    lr_fn: Callable = struct.field(pytree_node=False)
 
     def apply_gradients(self, grads: Any, new_batch_stats: Optional[Any] = None,
                         kliter_inc: int = 0) -> "TrainState":
         updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
+        # LR from the global step — the reference's per-step lr poke
+        lr = self.lr_fn(self.step)
+        updates = jax.tree_util.tree_map(
+            lambda u: (lr * u.astype(jnp.float32)).astype(u.dtype), updates)
         new_params = optax.apply_updates(self.params, updates)
         return self.replace(
             step=self.step + 1,
@@ -101,4 +112,5 @@ def create_train_state(cfg: Config, model, rng: jax.Array,
         opt_state=tx.init(params),
         tx=tx,
         apply_fn=model.apply,
+        lr_fn=noam_schedule(cfg.hidden_dim, cfg.warmup_steps),
     )

@@ -33,6 +33,15 @@ from blt_vqg_tpu.train.state import TrainState
 
 def _loss_fn(params, state: TrainState, batch: Dict[str, jnp.ndarray],
              rng: jax.Array, cfg: Config, latent_mode: bool):
+    # Frozen-backbone semantics exactly like the reference's
+    # requires_grad=False (encoder_cnn.py:18-19): torch never builds the
+    # conv backward graph.  stop_gradient removes the entire ResNet backward
+    # from the XLA program too (the optimizer mask alone would still compute
+    # those gradients and throw them away — ~2x the backbone FLOPs wasted).
+    from blt_vqg_tpu.train.state import _is_frozen_path
+    params = jax.tree_util.tree_map_with_path(
+        lambda p, x: jax.lax.stop_gradient(x) if _is_frozen_path(p) else x,
+        params)
     rngs = {"latent": jax.random.fold_in(rng, 0),
             "dropout": jax.random.fold_in(rng, 1)}
     (logits, z_logit, kld, image_recon), updates = state.apply_fn(
@@ -49,28 +58,34 @@ def _loss_fn(params, state: TrainState, batch: Dict[str, jnp.ndarray],
     return out.loss, (out, updates["batch_stats"])
 
 
+def _step_core(state: TrainState, batch: Dict[str, jnp.ndarray],
+               rng: jax.Array, cfg: Config, latent_mode: bool
+               ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+    grad_fn = jax.value_and_grad(_loss_fn, has_aux=True)
+    (_, (out, new_stats)), grads = grad_fn(
+        state.params, state, batch, rng, cfg, latent_mode)
+    new_state = state.apply_gradients(
+        grads, new_batch_stats=new_stats,
+        kliter_inc=1 if latent_mode else 0)
+    metrics = dict(out.as_dict())
+    if cfg.log_grad_norm:
+        metrics["grad_norm"] = optax_global_norm(grads)
+    if cfg.guard_nonfinite:
+        from blt_vqg_tpu.core.debug import guarded_update
+        # keep step/kliter advancing even on a skipped update
+        guarded, metrics = guarded_update(state, new_state, metrics)
+        new_state = guarded.replace(step=new_state.step,
+                                    kliter=new_state.kliter)
+    return new_state, metrics
+
+
 def make_train_step(cfg: Config, latent_mode: bool,
                     mesh: Optional[Mesh] = None) -> Callable:
     """Returns jitted ``step(state, batch, rng) -> (state, metrics)``."""
 
     def step(state: TrainState, batch: Dict[str, jnp.ndarray],
              rng: jax.Array) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
-        grad_fn = jax.value_and_grad(_loss_fn, has_aux=True)
-        (_, (out, new_stats)), grads = grad_fn(
-            state.params, state, batch, rng, cfg, latent_mode)
-        new_state = state.apply_gradients(
-            grads, new_batch_stats=new_stats,
-            kliter_inc=1 if latent_mode else 0)
-        metrics = dict(out.as_dict())
-        if cfg.log_grad_norm:
-            metrics["grad_norm"] = optax_global_norm(grads)
-        if cfg.guard_nonfinite:
-            from blt_vqg_tpu.core.debug import guarded_update
-            # keep step/kliter advancing even on a skipped update
-            guarded, metrics = guarded_update(state, new_state, metrics)
-            new_state = guarded.replace(step=new_state.step,
-                                        kliter=new_state.kliter)
-        return new_state, metrics
+        return _step_core(state, batch, rng, cfg, latent_mode)
 
     # No explicit out_shardings: outputs inherit layouts from the sharded
     # inputs (params carry their NamedShardings; the batch is sharded by the
@@ -78,6 +93,36 @@ def make_train_step(cfg: Config, latent_mode: bool,
     # wedge this image's experimental remote-compile path.
     del mesh
     return jax.jit(step, donate_argnums=(0,))
+
+
+def make_multi_step(cfg: Config, latent_mode: bool,
+                    mesh: Optional[Mesh] = None) -> Callable:
+    """G train steps in ONE dispatch: ``multi(state, batches, rng)`` where
+    ``batches`` is the single-step batch dict with a leading [G, ...] axis.
+
+    The host round trip per jitted call costs multiple milliseconds on a
+    tunneled/latency-bound host; a ``lax.scan`` over G steps amortizes it
+    G-fold, turning the dispatch-bound small-batch train loop back into a
+    compute-bound one.  Step i uses ``fold_in(rng, i)`` — identical to
+    calling the single step with those keys (tested).  Returns the last
+    step's metrics (the logging cadence samples, like the reference's
+    per-step self.log, train_iq.py:122-128).
+    """
+
+    def multi(state: TrainState, batches: Dict[str, jnp.ndarray],
+              rng: jax.Array) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        g = jax.tree_util.tree_leaves(batches)[0].shape[0]
+
+        def body(s, xs):
+            i, b = xs
+            return _step_core(s, b, jax.random.fold_in(rng, i), cfg,
+                              latent_mode)
+
+        state, ms = jax.lax.scan(body, state, (jnp.arange(g), batches))
+        return state, jax.tree_util.tree_map(lambda x: x[-1], ms)
+
+    del mesh
+    return jax.jit(multi, donate_argnums=(0,))
 
 
 def make_eval_step(cfg: Config, latent_mode: bool,
@@ -102,14 +147,21 @@ def make_eval_step(cfg: Config, latent_mode: bool,
     return jax.jit(step)
 
 
-def make_decode_step(cfg: Config, model, latent_mode: bool) -> Callable:
-    """Jitted greedy decode: (state, images, context, rng) -> dict."""
+def make_decode_step(cfg: Config, model, latent_mode: bool,
+                     with_probe: bool = True) -> Callable:
+    """Jitted greedy decode: (state, images, context, rng) -> dict.
+
+    ``with_probe=False`` is the serving variant: no per-step top-6 probe
+    (the probe exists for the validation sample printer, reference
+    train_iq.py:189-193)."""
 
     import inspect
     kwargs = {}
-    if cfg.decode_early_stop and "early_stop" in inspect.signature(
-            type(model).decode_greedy).parameters:
+    sig = inspect.signature(type(model).decode_greedy).parameters
+    if cfg.decode_early_stop and "early_stop" in sig:
         kwargs["early_stop"] = True
+    if not with_probe and "with_probe" in sig:
+        kwargs["with_probe"] = False
 
     @functools.partial(jax.jit, static_argnums=())
     def step(state: TrainState, images, context, rng):
@@ -119,6 +171,25 @@ def make_decode_step(cfg: Config, model, latent_mode: bool) -> Callable:
             latent_mode=latent_mode,
             method=type(model).decode_greedy,
             rngs={"latent": rng}, **kwargs)
+
+    return step
+
+
+def make_beam_decode_step(cfg: Config, model, latent_mode: bool) -> Callable:
+    """Jitted beam-search decode: (state, images, context, rng) -> dict with
+    ``tokens`` [B, L] (best beam) and ``scores`` [B].  Used by eval paths
+    when ``cfg.beam_size > 1`` (capability extension over the reference's
+    greedy-only validation, train_iq.py:159-206)."""
+
+    @functools.partial(jax.jit, static_argnums=())
+    def step(state: TrainState, images, context, rng):
+        return model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            images, context, beam_size=cfg.beam_size,
+            max_decode_length=cfg.max_decode_length,
+            latent_mode=latent_mode,
+            method=type(model).decode_beam,
+            rngs={"latent": rng})
 
     return step
 

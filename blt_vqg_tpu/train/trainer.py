@@ -37,7 +37,7 @@ from blt_vqg_tpu.parallel.sharding import replicate, shard_params
 from blt_vqg_tpu.train.nlg_metrics import NLGEval
 from blt_vqg_tpu.train.state import create_train_state
 from blt_vqg_tpu.train.step import (
-    make_decode_step, make_eval_step, make_train_step)
+    make_beam_decode_step, make_decode_step, make_eval_step, make_train_step)
 
 log = logging.getLogger(__name__)
 
@@ -76,6 +76,16 @@ class Trainer:
             False: make_train_step(cfg, latent_mode=False, mesh=mesh),
             True: make_train_step(cfg, latent_mode=True, mesh=mesh),
         }
+        # steps_per_dispatch > 1: G steps per jitted call (lax.scan) to
+        # amortize host dispatch latency — see train/step.py make_multi_step
+        if cfg.steps_per_dispatch > 1:
+            from blt_vqg_tpu.train.step import make_multi_step
+            self._multi_steps = {
+                False: make_multi_step(cfg, latent_mode=False, mesh=mesh),
+                True: make_multi_step(cfg, latent_mode=True, mesh=mesh),
+            }
+        else:
+            self._multi_steps = None
         self._eval_steps = {
             False: make_eval_step(cfg, latent_mode=False, mesh=mesh),
             True: make_eval_step(cfg, latent_mode=True, mesh=mesh),
@@ -84,6 +94,17 @@ class Trainer:
             False: make_decode_step(cfg, self.model, latent_mode=False),
             True: make_decode_step(cfg, self.model, latent_mode=True),
         }
+        # cfg.beam_size > 1 switches the validation decode report to beam
+        # search (the RNN family has no beam decoder — falls back to greedy)
+        if cfg.beam_size > 1 and hasattr(type(self.model), "decode_beam"):
+            self._beam_steps = {
+                False: make_beam_decode_step(cfg, self.model,
+                                             latent_mode=False),
+                True: make_beam_decode_step(cfg, self.model,
+                                            latent_mode=True),
+            }
+        else:
+            self._beam_steps = None
         # reference hp string (train_iq.py:35-37)
         self.hp_string = "{}_{}_{}_{}_{}_{}_{}_{}_{}_{}. {}".format(
             cfg.input_mode, cfg.emb_dim, "True", cfg.hidden_dim,
@@ -116,6 +137,19 @@ class Trainer:
         out = {k: batch[k] for k in ("context", "posterior", "target")}
         out["images"] = aug(batch["images"], self.rngs.key(1_000_000 + step))
         return out
+
+    def _chunk_len(self, step: int, max_steps: int, log_every: int) -> int:
+        """Steps to run in one multi-step dispatch: capped so a chunk never
+        crosses a phase/validation/checkpoint/log boundary (those events are
+        host-side decisions between dispatches)."""
+        cfg = self.cfg
+        nxt = max_steps
+        for interval in (cfg.val_check_interval, cfg.checkpoint_every,
+                         log_every):
+            nxt = min(nxt, (step // interval + 1) * interval)
+        if step < cfg.num_pretraining_steps:
+            nxt = min(nxt, cfg.num_pretraining_steps)
+        return max(1, min(cfg.steps_per_dispatch, nxt - step))
 
     # ------------------------------------------------------------------
     def fit(self, state, train_iter: Iterator, val_iter_factory,
@@ -154,10 +188,22 @@ class Trainer:
                     log.info("phase switch at step %d: latent ON, Adam reset",
                              step)
 
-                batch = next(train_iter)
-                mb = self._model_batch(batch, step, train=True)
-                state, metrics = self._train_steps[latent](
-                    state, mb, self.rngs.key(step))
+                n = self._chunk_len(step, max_steps, log_every) \
+                    if self._multi_steps is not None else 1
+                if n > 1:
+                    import jax.numpy as jnp
+                    mbs = [self._model_batch(next(train_iter), step + i,
+                                             train=True) for i in range(n)]
+                    stacked = {k: jnp.stack([m[k] for m in mbs])
+                               for k in mbs[0]}
+                    state, metrics = self._multi_steps[latent](
+                        state, stacked, self.rngs.key(step))
+                    step += n - 1  # inner steps; the loop tail adds the last
+                else:
+                    batch = next(train_iter)
+                    mb = self._model_batch(batch, step, train=True)
+                    state, metrics = self._train_steps[latent](
+                        state, mb, self.rngs.key(step))
 
                 if (step + 1) % log_every == 0:
                     host = {k: float(v) for k, v in metrics.items()}
@@ -235,10 +281,11 @@ class Trainer:
         # decode conditions on the category token (reference
         # train_iq.py:165, 173-174 passes answer_types as 1-token context)
         context = np.asarray(batch["answer_types"])[:, None].astype(np.int32)
-        out = self._decode_steps[latent](
-            state, images, context, self.rngs.key(4_000_000 + step))
+        decode = (self._beam_steps[latent] if self._beam_steps is not None
+                  else self._decode_steps[latent])
+        out = decode(state, images, context, self.rngs.key(4_000_000 + step))
         tokens = np.asarray(out["tokens"])
-        # the RNN family's decode has no top-k probe
+        # beam decode and the RNN family's decode have no top-k probe
         has_topk = "top_tokens" in out
         top_tokens = np.asarray(out["top_tokens"]) if has_topk else None
         top_probs = np.asarray(out["top_probs"]) if has_topk else None

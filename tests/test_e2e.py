@@ -64,6 +64,29 @@ class TestEndToEnd:
                         jax.tree_util.tree_leaves(state2.params)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_fit_with_multi_step_dispatch(self, setup, tmp_path):
+        """steps_per_dispatch=2: chunks align to the phase boundary and
+        checkpoint cadence; counters land exactly on total_training_steps."""
+        cfg, vocab, h5 = setup
+        cfg = cfg.replace(steps_per_dispatch=2,
+                          output_dir=str(tmp_path / "multi"))
+        ds = IQDataset(h5, vocab)
+        trainer = Trainer(cfg, vocab)
+        assert trainer._multi_steps is not None
+        train_iter = make_loader(ds, cfg.batch_size, "ans", seed=0)
+        first = next(train_iter)
+        state = trainer.init_state(
+            {k: first[k] for k in ("images", "context", "posterior",
+                                   "target")}, resume=False)
+        state = trainer.fit(
+            state, train_iter,
+            lambda: make_loader(ds, cfg.batch_size, "ans", epochs=1,
+                                shuffle=False))
+        assert int(state.step) == cfg.total_training_steps
+        assert int(state.kliter) == (cfg.total_training_steps
+                                     - cfg.num_pretraining_steps)
+        assert trainer.ckpt.latest_step() == cfg.total_training_steps
+
     def test_validate_produces_metrics_and_decode(self, setup, capsys):
         cfg, vocab, h5 = setup
         ds = IQDataset(h5, vocab)

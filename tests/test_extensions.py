@@ -148,3 +148,32 @@ class TestDistributedHelpers:
         out = host_local_batch_to_global(batch, mesh)
         assert out["x"].shape == (16, 2)
         np.testing.assert_array_equal(np.asarray(out["x"]), batch["x"])
+
+    def test_loader_multihost_path(self, eight_devices, tmp_path):
+        """make_loader(multihost=True) routes batches through
+        jax.make_array_from_process_local_data on the 8-device mesh and
+        yields the same global values/shardings as the device_put path
+        (single process: the local shard IS the global batch)."""
+        from blt_vqg_tpu.data.dataset import IQDataset
+        from blt_vqg_tpu.data.loader import make_loader
+        from blt_vqg_tpu.data.synthetic import write_synthetic_hdf5
+        from blt_vqg_tpu.parallel.mesh import build_mesh
+        from blt_vqg_tpu.text.vocabulary import Vocabulary
+
+        path = str(tmp_path / "synth.hdf5")
+        write_synthetic_hdf5(path, num_questions=32, num_images=4,
+                             im_size=16, vocab_size=40)
+        vocab = Vocabulary()
+        for i in range(40 - len(vocab)):
+            vocab.add_word(f"w{i}")
+        ds = IQDataset(path, vocab)
+        mesh = build_mesh((8, 1))
+        a = next(make_loader(ds, 16, "ans", shuffle=False, mesh=mesh,
+                             multihost=True))
+        b = next(make_loader(ds, 16, "ans", shuffle=False, mesh=mesh,
+                             multihost=False))
+        for k in a:
+            assert a[k].shape == b[k].shape, k
+            np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+            assert a[k].sharding.is_equivalent_to(b[k].sharding,
+                                                  a[k].ndim), k

@@ -66,6 +66,25 @@ class TestMasks:
             m, [[False, True, True], [False, False, True], [False, False, True]])
 
 
+class TestAttentionTaps:
+    def test_attn_weights_via_intermediates(self):
+        """Interpretability tap (reference attn_dist returns,
+        transformer_layers.py:514): attention maps are sown into the
+        'intermediates' collection and only materialize when requested."""
+        from blt_vqg_tpu.ops.attention import MultiHeadAttention
+        mha = MultiHeadAttention(16, 2, dropout_rate=0.0, dtype=jnp.float32)
+        x = jax.random.normal(jax.random.key(0), (2, 5, 16))
+        params = mha.init(jax.random.key(1), x, x)
+        out, inter = mha.apply(params, x, x, mutable=["intermediates"])
+        w = inter["intermediates"]["attn_weights"][0]
+        assert w.shape == (2, 2, 5, 5)
+        np.testing.assert_allclose(np.asarray(w.sum(-1)),
+                                   np.ones((2, 2, 5)), atol=1e-5)
+        # default apply: no intermediates, same output
+        out2 = mha.apply(params, x, x)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+
+
 class TestAttention:
     def test_matches_naive_softmax_attention(self):
         b, t, d, h = 2, 5, 16, 4

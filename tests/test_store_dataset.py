@@ -142,6 +142,50 @@ class TestStoreDataset:
             np.testing.assert_allclose(
                 h5["images"][0].astype(np.float32).mean(), 200, atol=3)
 
+    def test_bpe_tokenizer_etl_end_to_end(self, fake_coco):
+        """--tokenizer bpe (VERDICT round-1 #9): trains a BPE tokenizer on
+        the corpus, writes BPE-id hdf5, val split loads the same tokenizer
+        via the sniffing load_vocab, and the stored ids decode back to the
+        source question text (open vocabulary: no <unk>)."""
+        _run(fake_coco, extra=("--tokenizer", "bpe",
+                               "--bpe-vocab-size", "300"))
+        vocab = load_vocab(fake_coco["vocab"])
+        from blt_vqg_tpu.text.bpe import BPETokenizer
+        assert isinstance(vocab, BPETokenizer)
+        with h5py.File(fake_coco["output"], "r") as h5:
+            text = vocab.tokens_to_words(h5["questions"][0])
+            assert text == "what color is the cat"
+            assert (h5["answer_types"][:2] == [0, 1]).all()
+
+        # val split loads the trained tokenizer instead of retraining
+        val = dict(fake_coco, output=fake_coco["output_val"])
+        _run(val, extra=("--val",))
+        with h5py.File(val["output"], "r") as h5:
+            assert vocab.tokens_to_words(h5["questions"][0]) == \
+                "what color is the cat"
+
+    def test_bpe_dataset_feeds_loader(self, fake_coco):
+        """A BPE-built hdf5 drives IQDataset + make_loader end-to-end: the
+        category id used by the posterior surgery is the category name's
+        first BPE piece (single-token contract)."""
+        import numpy as np
+        _run(fake_coco, extra=("--tokenizer", "bpe",
+                               "--bpe-vocab-size", "300"))
+        vocab = load_vocab(fake_coco["vocab"])
+        from blt_vqg_tpu.data.dataset import IQDataset
+        from blt_vqg_tpu.data.loader import make_loader
+        ds = IQDataset(fake_coco["output"], vocab, fake_coco["cat2name"])
+        batch = next(make_loader(ds, 3, "cat", shuffle=False, device=False,
+                                 drop_remainder=False, epochs=1))
+        assert batch["target"].shape[1] == 8
+        # context = [<start>, first-BPE-piece-of-category, <end>]
+        assert batch["context"].shape[1] == 3
+        cats = ["color", "count"]
+        for row, cat_idx in zip(batch["context"], (0, 1)):
+            assert row[1] == vocab(cats[cat_idx])
+        assert int(batch["posterior"][0, 1]) == vocab("color")
+        assert np.all(batch["posterior"][:, 0] == 5)  # <pos>
+
     def test_question_tokens_roundtrip(self, fake_coco):
         """Stored question ids detokenize per the vocab rules: category and
         answer words are always in-vocab; question-only words below the

@@ -117,3 +117,20 @@ class TestGlove:
         assert table.shape == (len(v), 8)
         # unlisted rows keep the small random init
         assert np.abs(table[v.pad]).max() < 0.1
+
+
+class TestNamedGlove:
+    def test_torchtext_cache_layout(self, tmp_path):
+        """get_glove_embedding resolves torchtext's .vector_cache filename
+        (reference utils/train_utils.py:102-120 capability)."""
+        from blt_vqg_tpu.text.glove import get_glove_embedding
+        from blt_vqg_tpu.text.vocabulary import Vocabulary
+        v = Vocabulary()
+        v.add_word("cat")
+        cache = tmp_path / "vc"
+        cache.mkdir()
+        (cache / "glove.6B.4d.txt").write_text("cat 1.0 2.0 3.0 4.0\n")
+        table = get_glove_embedding("6B", 4, v, cache_dir=str(cache))
+        import numpy as np
+        np.testing.assert_allclose(table[v.word2idx["cat"]],
+                                   [1.0, 2.0, 3.0, 4.0])

@@ -114,6 +114,62 @@ class TestOptimizerMasking:
             updates["decoder"]["layer_0"]["w"])).max() > 0
 
 
+class TestMultiStep:
+    def test_matches_g_single_steps(self, tiny_cfg, vocab_size):
+        """make_multi_step (G steps in one lax.scan dispatch) must produce
+        exactly the same state as G single-step calls with the same
+        fold_in(rng, i) keys."""
+        import jax
+        from blt_vqg_tpu.models.iq import IQ
+        from blt_vqg_tpu.train.state import create_train_state
+        from blt_vqg_tpu.train.step import make_multi_step, make_train_step
+
+        cfg = tiny_cfg
+        model = IQ(cfg, vocab_size)
+        rng = np.random.RandomState(0)
+        g, b = 3, cfg.batch_size
+
+        def one_batch(i):
+            r = np.random.RandomState(100 + i)
+            return {
+                "images": r.rand(b, cfg.image_size, cfg.image_size, 3
+                                 ).astype(np.float32),
+                "context": r.randint(1, vocab_size,
+                                     (b, cfg.max_context_len)).astype(np.int32),
+                "posterior": r.randint(1, vocab_size,
+                                       (b, cfg.max_posterior_len)).astype(np.int32),
+                "target": r.randint(1, vocab_size,
+                                    (b, cfg.max_q_length)).astype(np.int32),
+            }
+
+        batches = [one_batch(i) for i in range(g)]
+        state_a = create_train_state(cfg, model, jax.random.key(0),
+                                     batches[0])
+        state_b = create_train_state(cfg, model, jax.random.key(0),
+                                     batches[0])
+        base = jax.random.key(7)
+
+        step = make_train_step(cfg, latent_mode=True)
+        for i in range(g):
+            state_a, m_a = step(state_a, batches[i],
+                                jax.random.fold_in(base, i))
+
+        multi = make_multi_step(cfg, latent_mode=True)
+        stacked = {k: np.stack([bt[k] for bt in batches])
+                   for k in batches[0]}
+        state_b, m_b = multi(state_b, stacked, base)
+
+        assert int(state_b.step) == int(state_a.step) == g
+        assert int(state_b.kliter) == g
+        for pa, pb in zip(jax.tree_util.tree_leaves(state_a.params),
+                          jax.tree_util.tree_leaves(state_b.params)):
+            np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                                       atol=1e-6)
+        # returned metrics are the LAST inner step's
+        np.testing.assert_allclose(float(m_b["loss"]), float(m_a["loss"]),
+                                   rtol=1e-5)
+
+
 class TestCheckpoint:
     def test_roundtrip(self, tmp_path, tiny_cfg, vocab_size):
         from blt_vqg_tpu.core.checkpoint import CheckpointManager

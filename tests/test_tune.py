@@ -72,6 +72,96 @@ class TestRunTune:
             t["metric"] for t in best["trials"] if t["metric"] is not None)
 
 
+class TestRunTuneParallel:
+    """Concurrent launcher driven by a fake trial *binary* (no model, no
+    JAX in children): asserts real process overlap and that promotions
+    match the sequential oracle (reference train_iq_ray.py:365-382 runs 4
+    concurrent Ray actors)."""
+
+    FAKE_TRIAL = r"""
+import json, os, sys, time
+trial_dir, rung = sys.argv[1], int(sys.argv[2])
+tid = int(trial_dir.rstrip("/").split("_")[-1])
+with open(os.path.join(trial_dir, f"start_{rung}"), "w") as f:
+    f.write(repr(time.time()))
+time.sleep(0.3 + 0.15 * tid)   # id-staggered: deterministic arrival order
+with open(os.path.join(trial_dir, f"result_{rung}.json"), "w") as f:
+    json.dump({"metric": float(tid), "step": rung}, f)
+with open(os.path.join(trial_dir, f"end_{rung}"), "w") as f:
+    f.write(repr(time.time()))
+"""
+
+    def _parallel_run(self, tmp_path, num_samples=4, max_concurrent=4):
+        import sys
+        from blt_vqg_tpu.train.tune import run_tune_parallel
+        script = tmp_path / "fake_trial.py"
+        script.write_text(self.FAKE_TRIAL)
+        base = Config(num_pretraining_steps=2, total_training_steps=18)
+
+        def trial_argv_fn(cfg, trial_dir, stop_at_step):
+            return [sys.executable, "-S", str(script), trial_dir,
+                    str(stop_at_step)]
+
+        out_dir = str(tmp_path / "tune")
+        result = run_tune_parallel(base, trial_argv_fn,
+                                   num_samples=num_samples,
+                                   max_concurrent=max_concurrent,
+                                   seed=0, output_dir=out_dir,
+                                   poll_interval=0.05)
+        return result, out_dir
+
+    def test_trials_overlap_and_match_sequential_oracle(self, tmp_path):
+        result, out_dir = self._parallel_run(tmp_path)
+
+        # --- ≥2 children genuinely ran concurrently
+        intervals = []
+        for t in range(4):
+            tdir = os.path.join(out_dir, f"trial_{t}")
+            for name in os.listdir(tdir):
+                if name.startswith("start_"):
+                    rung = name.split("_")[1]
+                    start = float(open(os.path.join(tdir, name)).read())
+                    end = float(open(os.path.join(tdir, f"end_{rung}")).read())
+                    intervals.append((start, end))
+        overlaps = sum(1 for i, (s1, e1) in enumerate(intervals)
+                       for (s2, e2) in intervals[i + 1:]
+                       if s1 < e2 and s2 < e1)
+        assert overlaps >= 1, intervals
+
+        # --- promotions match the sequential oracle (same seed, same
+        # metric function, id-ordered arrivals)
+        oracle = run_tune(Config(num_pretraining_steps=2,
+                                 total_training_steps=18),
+                          lambda cfg, trial_dir, stop_at_step:
+                          float(trial_dir.rstrip("/").split("_")[-1]),
+                          num_samples=4, seed=0,
+                          output_dir=str(tmp_path / "oracle"))
+        assert result["best_trial"] == oracle["best_trial"]
+        par = {t["id"]: (t["step"], t["metric"]) for t in result["trials"]}
+        seq = {t["id"]: (t["step"], t["metric"]) for t in oracle["trials"]}
+        assert par == seq
+
+    def test_failed_child_kills_trial(self, tmp_path):
+        import sys
+        from blt_vqg_tpu.train.tune import run_tune_parallel
+        script = tmp_path / "fail_trial.py"
+        script.write_text(self.FAKE_TRIAL.replace(
+            "time.sleep(0.3 + 0.15 * tid)",
+            "time.sleep(0.1)\nif tid == 1: sys.exit(3)"))
+        base = Config(num_pretraining_steps=2, total_training_steps=6)
+
+        def trial_argv_fn(cfg, trial_dir, stop_at_step):
+            return [sys.executable, "-S", str(script), trial_dir,
+                    str(stop_at_step)]
+
+        result = run_tune_parallel(
+            base, trial_argv_fn, num_samples=3, max_concurrent=3, seed=0,
+            output_dir=str(tmp_path / "tune"), poll_interval=0.05)
+        by_id = {t["id"]: t for t in result["trials"]}
+        assert by_id[1]["metric"] is None       # crashed before reporting
+        assert by_id[0]["metric"] is not None   # others unaffected
+
+
 class TestRngStream:
     def test_deterministic_across_instances(self):
         import numpy as np
