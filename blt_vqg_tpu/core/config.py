@@ -193,6 +193,22 @@ def add_config_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
                         default=defaults.limit_val_batches)
     parser.add_argument("--checkpoint_every", type=int,
                         default=defaults.checkpoint_every)
+    parser.add_argument("--image_size", type=int, default=defaults.image_size)
+    parser.add_argument("--max_q_length", type=int,
+                        default=defaults.max_q_length)
+    parser.add_argument("--max_a_length", type=int,
+                        default=defaults.max_a_length)
+    parser.add_argument("--max_decode_length", type=int,
+                        default=defaults.max_decode_length)
+    parser.add_argument("--warmup_steps", type=int,
+                        default=defaults.warmup_steps)
+    parser.add_argument("--grad_clip", type=float, default=defaults.grad_clip)
+    parser.add_argument("--compat_pad_seed",
+                        action=argparse.BooleanOptionalAction,
+                        default=defaults.compat_pad_seed,
+                        help="seed greedy decode with <pad> like the "
+                        "reference (iq.py:129); --no-compat-pad-seed uses "
+                        "<start>")
     # TPU-native flags
     parser.add_argument("--dtype", type=str, default=defaults.dtype)
     parser.add_argument("--num_data_shards", type=int, default=1,
