@@ -96,6 +96,12 @@ class Config:
     rnn_cell: str = "lstm"            # rnn family: "lstm" | "gru"
     compat_pad_seed: bool = True      # seed greedy decode with <pad> like the
                                       # reference (iq.py:129); False uses <start>
+    early_stop_patience: int = 0      # >0: stop when val loss hasn't improved
+                                      # for N validations, checked only after
+                                      # the pretraining phase (reference
+                                      # MyEarlyStopping, train_iq_ray.py:
+                                      # 248-256; the Ray config uses 8)
+    early_stop_min_delta: float = 0.0
     steps_per_dispatch: int = 1       # >1: run G train steps per jitted call
                                       # (lax.scan) — amortizes host dispatch
                                       # latency G-fold (train/step.py
@@ -222,6 +228,10 @@ def add_config_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     parser.add_argument("--decode_early_stop", action="store_true")
     parser.add_argument("--steps_per_dispatch", type=int,
                         default=defaults.steps_per_dispatch)
+    parser.add_argument("--early_stop_patience", type=int,
+                        default=defaults.early_stop_patience)
+    parser.add_argument("--early_stop_min_delta", type=float,
+                        default=defaults.early_stop_min_delta)
     parser.add_argument("--no_checkpoint_at_end", dest="checkpoint_at_end",
                         action="store_false")
     parser.set_defaults(checkpoint_at_end=True)

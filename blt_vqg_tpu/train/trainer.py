@@ -49,6 +49,36 @@ def filter_special_tokens(tokens):
     return [t for t in tokens if t not in SPECIAL_TOKENS]
 
 
+class EarlyStopping:
+    """val-loss early stopping gated to the post-pretraining phase
+    (reference MyEarlyStopping, train_iq_ray.py:248-256, 331-339:
+    monitor val_loss/min, patience counted over validations, checks only
+    once ``step > active_from``)."""
+
+    def __init__(self, patience: int, min_delta: float = 0.0,
+                 active_from: int = 0, mode: str = "min"):
+        self.patience = patience
+        self.min_delta = min_delta
+        self.active_from = active_from
+        self.sign = 1.0 if mode == "min" else -1.0
+        self.best = float("inf")
+        self.stale = 0
+
+    def update(self, step: int, value: float) -> bool:
+        """Records one validation result; returns True when training should
+        stop.  Pre-gate validations are ignored entirely (Lightning only
+        runs the check when the callback fires, so best/wait don't move)."""
+        if self.patience <= 0 or step <= self.active_from:
+            return False
+        v = self.sign * float(value)
+        if v < self.best - self.min_delta:
+            self.best = v
+            self.stale = 0
+            return False
+        self.stale += 1
+        return self.stale >= self.patience
+
+
 class Trainer:
     def __init__(self, cfg: Config, vocab, mesh=None,
                  profile_dir: Optional[str] = None):
@@ -178,6 +208,10 @@ class Trainer:
             except ValueError:  # non-main thread
                 pass
 
+        early_stop = EarlyStopping(cfg.early_stop_patience,
+                                   cfg.early_stop_min_delta,
+                                   active_from=cfg.num_pretraining_steps)
+
         if self.profile_dir:
             jax.profiler.start_trace(self.profile_dir)
         try:
@@ -218,7 +252,13 @@ class Trainer:
 
                 step += 1
                 if step % cfg.val_check_interval == 0:
-                    self.validate(state, val_iter_factory(), latent, step)
+                    val = self.validate(state, val_iter_factory(), latent,
+                                        step)
+                    if early_stop.update(step, val.get("loss", float("inf"))):
+                        log.info("early stopping at step %d (val loss "
+                                 "plateaued %d validations)", step,
+                                 early_stop.stale)
+                        break
                 if step % cfg.checkpoint_every == 0:
                     # async write: snapshot now, file IO off the step path
                     self.ckpt.save(state, self.cfg, block=False)

@@ -114,6 +114,34 @@ class TestOptimizerMasking:
             updates["decoder"]["layer_0"]["w"])).max() > 0
 
 
+class TestEarlyStopping:
+    def test_gated_to_post_pretraining(self):
+        from blt_vqg_tpu.train.trainer import EarlyStopping
+        es = EarlyStopping(patience=2, active_from=100)
+        # pre-gate validations never count, however bad
+        for step in (10, 50, 100):
+            assert es.update(step, 99.0) is False
+        assert es.stale == 0
+        # post-gate: first value becomes best, then two stale → stop
+        assert es.update(150, 5.0) is False
+        assert es.update(200, 5.0) is False   # no improvement (min_delta 0)
+        assert es.update(250, 5.1) is True
+
+    def test_improvement_resets_patience(self):
+        from blt_vqg_tpu.train.trainer import EarlyStopping
+        es = EarlyStopping(patience=2, min_delta=0.1, active_from=0)
+        assert es.update(1, 10.0) is False
+        assert es.update(2, 9.95) is False    # < min_delta → stale
+        assert es.update(3, 9.0) is False     # real improvement → reset
+        assert es.update(4, 9.0) is False
+        assert es.update(5, 9.0) is True
+
+    def test_disabled_by_default(self):
+        from blt_vqg_tpu.train.trainer import EarlyStopping
+        es = EarlyStopping(patience=0)
+        assert all(not es.update(s, 1.0) for s in range(1, 20))
+
+
 class TestMultiStep:
     def test_matches_g_single_steps(self, tiny_cfg, vocab_size):
         """make_multi_step (G steps in one lax.scan dispatch) must produce
