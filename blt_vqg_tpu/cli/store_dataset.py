@@ -49,7 +49,11 @@ def _load_image(image_dir: str, split: str, image_id: int, im_size: int):
 
 def save_dataset(image_dir, questions_path, annotations_path, vocab, ans2cat,
                  output, im_size=224, max_q_length=20, max_a_length=4,
-                 split="train", uint8=False):
+                 split="train", uint8=False, shard=None):
+    """``shard=(i, n)`` writes only every n-th eligible QA starting at i —
+    the multihost-ETL split (each host builds its own hdf5 shard; shards are
+    disjoint and their union is the unsharded dataset).  Images are stored
+    per shard, indexed by the shard-local ``image_indices``."""
     import h5py
     from blt_vqg_tpu.text.tokenizer import process_text as word_process_text
 
@@ -66,9 +70,16 @@ def save_dataset(image_dir, questions_path, annotations_path, vocab, ans2cat,
         questions = json.load(f)
 
     qid2ans, image_ids = filter_answers(annos, ans2cat)
-    nq = len(qid2ans)
-    ni = len(image_ids)
-    log.info("writing %d QAs over %d images", nq, ni)
+    eligible = [e for e in questions["questions"]
+                if e["image_id"] in image_ids
+                and e["question_id"] in qid2ans]
+    if shard is not None:
+        i, n = shard
+        eligible = eligible[i::n]
+    nq = len(eligible)
+    ni = len({e["image_id"] for e in eligible})
+    log.info("writing %d QAs over %d images%s", nq, ni,
+             f" (shard {shard[0]}/{shard[1]})" if shard else "")
 
     img_dtype = "uint8" if uint8 else "f"
     with h5py.File(output, "w") as h5:
@@ -83,11 +94,9 @@ def save_dataset(image_dir, questions_path, annotations_path, vocab, ans2cat,
         i_index = 0
         q_index = 0
         img2idx = {}
-        for entry in questions["questions"]:
+        for entry in eligible:
             image_id = entry["image_id"]
             qid = entry["question_id"]
-            if image_id not in image_ids or qid not in qid2ans:
-                continue
             if image_id not in img2idx:
                 arr = _load_image(image_dir, split, image_id, im_size)
                 if arr is None:
@@ -137,6 +146,10 @@ def main(argv=None):
                         "config 4) — model vocab_size comes from the "
                         "trained tokenizer")
     parser.add_argument("--bpe-vocab-size", type=int, default=8192)
+    parser.add_argument("--shard", type=str, default=None, metavar="I/N",
+                        help="write only every N-th eligible QA starting at "
+                        "I (0-based) — one hdf5 shard per ETL host; shards "
+                        "are disjoint and union to the full dataset")
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
 
@@ -171,12 +184,19 @@ def main(argv=None):
                             save_path=args.vocab_path)
         split = "train"
 
+    shard = None
+    if args.shard is not None:
+        i, n = (int(x) for x in args.shard.split("/"))
+        if not 0 <= i < n:
+            parser.error(f"--shard {args.shard}: need 0 <= I < N")
+        shard = (i, n)
+
     os.makedirs(os.path.dirname(args.output) or ".", exist_ok=True)
     save_dataset(args.image_dir, args.questions, args.annotations, vocab,
                  ans2cat, args.output, im_size=args.im_size,
                  max_q_length=args.max_q_length,
                  max_a_length=args.max_a_length, split=split,
-                 uint8=args.uint8)
+                 uint8=args.uint8, shard=shard)
     return 0
 
 

@@ -11,7 +11,8 @@ train_iq_ray.py:365-382) — this process re-invoked with ``--run-trial`` is
 the child; each child trains one rung segment, resumes from its trial
 checkpoint, and reports through a result file.  ``--trial-env KEY=VAL``
 (repeatable) sets env overrides in every child — e.g. pin children to CPU
-on a single-chip box, or route each to its own TPU slice.  Early stopping
+on a single-chip box; ``--slot-env SLOT:KEY=VAL`` layers per-slot overrides
+on top, routing each concurrent slot to its own TPU slice.  Early stopping
 protocol mirrors the reference: metric val_loss (min), grace period =
 pretraining steps.
 """
@@ -102,6 +103,13 @@ def main(argv=None):
     parser.add_argument("--trial-env", action="append", default=[],
                         metavar="KEY=VAL",
                         help="env override applied to every trial child")
+    parser.add_argument("--slot-env", action="append", default=[],
+                        metavar="SLOT:KEY=VAL",
+                        help="env override for one concurrent slot (0-based),"
+                        " layered over --trial-env — route each slot to its "
+                        "own TPU slice, e.g. "
+                        "--slot-env 0:TPU_VISIBLE_DEVICES=0 "
+                        "--slot-env 1:TPU_VISIBLE_DEVICES=1")
     parser.add_argument("--max_examples", type=int, default=None)
     args = parser.parse_args(argv)
     base_cfg = config_from_args(args)
@@ -115,6 +123,16 @@ def main(argv=None):
 
     if args.parallel > 1:
         env = dict(kv.split("=", 1) for kv in args.trial_env)
+        slot_envs = None
+        if args.slot_env:
+            per_slot = [dict(env) for _ in range(args.parallel)]
+            for spec in args.slot_env:
+                slot, kv = spec.split(":", 1)
+                key, val = kv.split("=", 1)
+                per_slot[int(slot) % args.parallel][key] = val
+            slot_envs = per_slot
+        elif env:
+            slot_envs = [env]
 
         def trial_argv_fn(cfg, trial_dir, stop_at_step):
             cfg_path = os.path.join(trial_dir, "trial_config.json")
@@ -132,7 +150,7 @@ def main(argv=None):
                           num_samples=args.num_samples,
                           max_concurrent=args.parallel, space=space,
                           seed=args.tune_seed, output_dir=args.tune_dir,
-                          slot_envs=[env] if env else None)
+                          slot_envs=slot_envs)
         return 0
 
     def train_trial_fn(cfg, trial_dir, stop_at_step):

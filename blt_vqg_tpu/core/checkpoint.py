@@ -12,7 +12,14 @@ flat pytree and npz keeps restore template-driven and sharding-agnostic):
 - step-numbered directories, ``latest_step`` discovery, retention of the
   most recent K checkpoints;
 - restore onto an existing TrainState template (shardings preserved by
-  device_put after restore).
+  device_put after restore);
+- ``save(on_disk_param_dtype="bfloat16")`` halves checkpoint bytes by
+  casting float params on the way out (restore casts back to the template
+  dtype) — for the tunneled/slow-disk case;
+- ``save_sharded``/``restore_sharded``: each host writes only its
+  addressable array shards (``shard_h{proc}.npz`` + slice metadata), so a
+  multihost job never funnels the full state through one host; restore
+  reassembles the global state from the union of shard files.
 """
 
 from __future__ import annotations
@@ -29,16 +36,63 @@ import numpy as np
 from blt_vqg_tpu.core.config import Config
 
 _STEP_RE = re.compile(r"^step_(\d+)$")
+_SHARD_RE = re.compile(r"^shard_h(\d+)\.npz$")
 
 
-def _flatten(tree: Any, prefix: str = ""):
-    """Flattens a pytree of arrays into {path: ndarray}."""
+def _flatten(tree: Any, prefix: str = "", cast_float_to=None):
+    """Flattens a pytree of arrays into {path: ndarray}.
+
+    ``cast_float_to``: optional on-disk dtype for float leaves (the bf16
+    checkpoint diet).  Non-numpy-native dtypes (bfloat16) survive npz as raw
+    void bytes; their true dtype is recorded under ``__dtype__/<key>`` so
+    restore can reinterpret them even into a different-dtype template."""
     flat = {}
     for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
         key = "/".join(
             str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
-        flat[prefix + key] = np.asarray(leaf)
+        arr = np.asarray(leaf)
+        if cast_float_to is not None and arr.dtype.kind == "f":
+            arr = arr.astype(cast_float_to)
+        flat[prefix + key] = arr
+        if arr.dtype.kind == "V":
+            flat["__dtype__/" + prefix + key] = np.str_(arr.dtype.name)
     return flat
+
+
+def _shard_entries(tree: Any, prefix: str):
+    """{key@j: (shard_data, [(start, stop), ...])} for every addressable,
+    slice-deduplicated shard of every leaf this process holds."""
+    entries = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        key = prefix + "/".join(
+            str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+        shape = tuple(np.shape(leaf))
+        if not hasattr(leaf, "addressable_shards"):
+            entries[f"{key}@0"] = (np.asarray(leaf),
+                                   [(0, s) for s in shape])
+            continue
+        seen = set()
+        j = 0
+        for sh in leaf.addressable_shards:
+            idx = tuple(sl.indices(dim)[:2]
+                        for sl, dim in zip(sh.index, shape))
+            if idx in seen:      # replicated copy on another local device
+                continue
+            seen.add(idx)
+            entries[f"{key}@{j}"] = (np.asarray(sh.data), list(idx))
+            j += 1
+    return entries
+
+
+def _undo_void(arr: np.ndarray, flat: dict, key: str,
+               fallback: np.dtype) -> np.ndarray:
+    """npz round-trips non-native dtypes (bfloat16) as raw void bytes;
+    reinterpret using the recorded ``__dtype__/<key>`` (or ``fallback``)."""
+    if arr.dtype.kind != "V":
+        return arr
+    hint = flat.get("__dtype__/" + key)
+    dt = np.dtype(str(hint)) if hint is not None else fallback
+    return arr.view(dt)
 
 
 def _unflatten_into(template: Any, flat: dict, prefix: str = ""):
@@ -50,8 +104,9 @@ def _unflatten_into(template: Any, flat: dict, prefix: str = ""):
             str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
         if key not in flat:
             raise KeyError(f"checkpoint missing leaf {key}")
-        arr = flat[key]
-        leaves.append(np.asarray(arr).astype(leaf.dtype).reshape(leaf.shape))
+        arr = _undo_void(np.asarray(flat[key]), flat, key,
+                         fallback=np.dtype(leaf.dtype))
+        leaves.append(arr.astype(leaf.dtype).reshape(leaf.shape))
     return jax.tree_util.tree_unflatten(paths[1], leaves)
 
 
@@ -70,8 +125,11 @@ class CheckpointManager:
         steps = []
         for name in os.listdir(self.directory):
             m = _STEP_RE.match(name)
-            if m and os.path.exists(
-                    os.path.join(self.directory, name, "state.npz")):
+            if not m:
+                continue
+            d = os.path.join(self.directory, name)
+            if os.path.exists(os.path.join(d, "state.npz")) or any(
+                    _SHARD_RE.match(f) for f in os.listdir(d)):
                 steps.append(int(m.group(1)))
         return sorted(steps)
 
@@ -81,16 +139,22 @@ class CheckpointManager:
 
     # -- save / restore -------------------------------------------------
     def save(self, state, cfg: Optional[Config] = None,
-             extra: Optional[dict] = None, block: bool = True) -> str:
+             extra: Optional[dict] = None, block: bool = True,
+             on_disk_param_dtype: Optional[str] = None) -> str:
         """Saves a checkpoint.  With ``block=False`` the device→host
         snapshot happens now (donation-safe: buffers may be reused the
         moment this returns) but file IO runs on a background thread —
-        the train loop resumes while bytes hit disk."""
+        the train loop resumes while bytes hit disk.
+
+        ``on_disk_param_dtype="bfloat16"`` casts float *params* (not
+        optimizer moments or batch stats) on the way to disk — half the
+        bytes; restore casts back to the template dtype."""
         self.wait()  # one async write in flight at a time
         step = int(state.step)
         path = self._step_dir(step)
+        cast = np.dtype(on_disk_param_dtype) if on_disk_param_dtype else None
         flat = {}
-        flat.update(_flatten(state.params, "params/"))
+        flat.update(_flatten(state.params, "params/", cast_float_to=cast))
         flat.update(_flatten(state.batch_stats, "batch_stats/"))
         flat.update(_flatten(state.opt_state, "opt_state/"))
         flat["__step__"] = np.asarray(int(state.step))
@@ -148,3 +212,99 @@ class CheckpointManager:
         steps = self.all_steps()
         for step in steps[:-self.keep]:
             shutil.rmtree(self._step_dir(step), ignore_errors=True)
+
+    # -- sharded (per-host) save / restore ------------------------------
+    def save_sharded(self, state, cfg: Optional[Config] = None) -> str:
+        """Multihost checkpoint write: THIS process writes only the array
+        shards it can address (``jax.Array.addressable_shards``) to
+        ``shard_h{process_index}.npz`` — no host ever funnels the full
+        state, and hosts write concurrently.  Replicated leaves are
+        deduplicated by slice, so each host stores one copy of what it
+        holds; the union of all hosts' files covers every element
+        (``restore_sharded`` verifies)."""
+        step = int(state.step)
+        path = self._step_dir(step)
+        os.makedirs(path, exist_ok=True)
+        entries = {}
+        entries.update(_shard_entries(state.params, "params/"))
+        entries.update(_shard_entries(state.batch_stats, "batch_stats/"))
+        entries.update(_shard_entries(state.opt_state, "opt_state/"))
+        flat = {"__step__": np.asarray(int(state.step)),
+                "__kliter__": np.asarray(int(state.kliter))}
+        for key, (data, idx) in entries.items():
+            flat[key] = data
+            flat["__idx__/" + key] = np.asarray(idx, np.int64).reshape(-1, 2)
+            if data.dtype.kind == "V":
+                flat["__dtype__/" + key] = np.str_(data.dtype.name)
+        proc = jax.process_index()
+        fname = os.path.join(path, f"shard_h{proc}.npz")
+        np.savez(fname + ".tmp.npz", **flat)
+        os.replace(fname + ".tmp.npz", fname)
+        if cfg is not None and proc == 0:
+            with open(os.path.join(path, "args.json"), "w") as f:
+                f.write(cfg.to_json())
+        if proc == 0:
+            self._gc()
+        return path
+
+    def restore_sharded(self, state, step: Optional[int] = None):
+        """Reassembles a sharded checkpoint from the union of all hosts'
+        shard files (they must all be visible, e.g. on shared storage).
+        Returns a new TrainState shaped like the ``state`` template."""
+        step = step if step is not None else self.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints in {self.directory}")
+        path = self._step_dir(step)
+        files = sorted(f for f in os.listdir(path)
+                       if _SHARD_RE.match(f))
+        if not files:
+            raise FileNotFoundError(f"no shard files in {path}")
+        flat: dict = {}
+        for f in files:
+            with np.load(os.path.join(path, f), allow_pickle=False) as z:
+                for k in z.files:
+                    flat.setdefault(k, z[k])
+
+        def assemble(template, prefix):
+            paths = jax.tree_util.tree_flatten_with_path(template)
+            leaves = []
+            for pth, leaf in paths[0]:
+                key = prefix + "/".join(
+                    str(getattr(p, "key", getattr(p, "idx", p)))
+                    for p in pth)
+                shape = tuple(np.shape(leaf))
+                out = None
+                covered = 0
+                seen = set()
+                for k in flat:
+                    if not (k.startswith(key + "@")
+                            and k[len(key) + 1:].isdigit()):
+                        continue
+                    data = _undo_void(np.asarray(flat[k]), flat, k,
+                                      fallback=np.dtype(leaf.dtype))
+                    idx = flat["__idx__/" + k].reshape(-1, 2)
+                    sl = tuple(slice(int(a), int(b)) for a, b in idx)
+                    if sl in seen:   # same slice from another host (repl.)
+                        continue
+                    seen.add(sl)
+                    if out is None:
+                        out = np.zeros(shape, dtype=data.dtype)
+                    out[sl] = data.reshape(out[sl].shape)
+                    covered += int(np.prod(data.shape)) if shape else 1
+                if out is None:
+                    raise KeyError(f"checkpoint missing leaf {key}")
+                want = int(np.prod(shape)) if shape else 1
+                if covered != want:
+                    raise ValueError(
+                        f"leaf {key}: shards cover {covered}/{want} elements"
+                        " — missing a host's shard file?")
+                leaves.append(out.astype(leaf.dtype).reshape(shape))
+            return jax.tree_util.tree_unflatten(paths[1], leaves)
+
+        return state.replace(
+            step=jax.numpy.asarray(int(flat["__step__"]), jax.numpy.int32),
+            kliter=jax.numpy.asarray(int(flat["__kliter__"]),
+                                     jax.numpy.int32),
+            params=assemble(state.params, "params/"),
+            batch_stats=assemble(state.batch_stats, "batch_stats/"),
+            opt_state=assemble(state.opt_state, "opt_state/"))

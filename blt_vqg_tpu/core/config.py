@@ -111,6 +111,16 @@ class Config:
                                       # trailing ReLU+dropout quirk
                                       # (transformer_layers.py:400-408) —
                                       # used by golden-parity runs
+    checkpoint_param_dtype: str = "float32"  # "bfloat16": half-size params
+                                      # on disk (core/checkpoint.py); restore
+                                      # casts back — for slow disks/tunnels
+    adam_mu_dtype: str = "float32"    # "bfloat16" halves the first-moment
+                                      # HBM traffic of the bandwidth-bound
+                                      # train step (benchmarks/METHODOLOGY.md
+                                      # roofline); f32 default keeps the
+                                      # parity runs bit-faithful.  Second
+                                      # moments stay f32 (sqrt of a tiny
+                                      # value needs the mantissa).
 
     # ------------------------------------------------------------------
     def replace(self, **kw) -> "Config":
@@ -228,6 +238,12 @@ def add_config_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     parser.add_argument("--decode_early_stop", action="store_true")
     parser.add_argument("--steps_per_dispatch", type=int,
                         default=defaults.steps_per_dispatch)
+    parser.add_argument("--adam_mu_dtype", type=str,
+                        default=defaults.adam_mu_dtype,
+                        choices=("float32", "bfloat16"))
+    parser.add_argument("--checkpoint_param_dtype", type=str,
+                        default=defaults.checkpoint_param_dtype,
+                        choices=("float32", "bfloat16"))
     parser.add_argument("--early_stop_patience", type=int,
                         default=defaults.early_stop_patience)
     parser.add_argument("--early_stop_min_delta", type=float,

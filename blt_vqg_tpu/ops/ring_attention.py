@@ -29,24 +29,31 @@ NEG_INF = -1e30
 
 def ring_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                    mesh: Mesh, axis: str = "data",
-                   causal: bool = False) -> jnp.ndarray:
+                   causal: bool = False,
+                   kv_pad: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Sequence-parallel attention.
 
     q/k/v [B, T, H, D] with T sharded over ``axis`` (q pre-scaled by
-    1/sqrt(D) upstream).  Returns [B, T, H, D] sharded the same way.
+    1/sqrt(D) upstream).  ``kv_pad`` [B, T] bool (True = masked) is the
+    key-padding mask; its shards rotate around the ring with K/V.
+    Returns [B, T, H, D] sharded the same way.
     """
     n = mesh.shape[axis]
     t = q.shape[1]
     assert t % n == 0, f"seq len {t} must divide the {axis} axis size {n}"
     chunk = t // n
+    if kv_pad is None:
+        kv_pad = jnp.zeros((q.shape[0], t), bool)
+    kv_pad = jnp.broadcast_to(kv_pad, (q.shape[0], t))
 
     spec = P(None, axis, None, None)
+    pad_spec = P(None, axis)
 
     @functools.partial(
-        shard_map, mesh=mesh, in_specs=(spec, spec, spec),
+        shard_map, mesh=mesh, in_specs=(spec, spec, spec, pad_spec),
         out_specs=spec, check_vma=False)
 
-    def _ring(q_l, k_l, v_l):
+    def _ring(q_l, k_l, v_l, pad_l):
         # local shapes [B, chunk, H, D]
         b, c, h, d = q_l.shape
         my = jax.lax.axis_index(axis)

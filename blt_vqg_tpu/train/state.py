@@ -41,9 +41,10 @@ def make_optimizer(cfg: Config, params: Any) -> optax.GradientTransformation:
     the reference pokes ``self.trainer.global_step`` into a fresh Adam."""
     label = jax.tree_util.tree_map_with_path(
         lambda path, _: "frozen" if _is_frozen_path(path) else "train", params)
+    mu_dtype = jnp.dtype(getattr(cfg, "adam_mu_dtype", "float32"))
     trainable = optax.chain(
         optax.clip_by_global_norm(cfg.grad_clip),
-        optax.scale_by_adam(),
+        optax.scale_by_adam(mu_dtype=mu_dtype),
         optax.scale(-1.0),
     )
     return optax.multi_transform(

@@ -162,6 +162,11 @@ class Trainer:
                 opt_state=replicate(state.opt_state, self.mesh))
         return state
 
+    def _disk_dtype(self):
+        """On-disk param dtype for checkpoints (None = store as-is)."""
+        dt = getattr(self.cfg, "checkpoint_param_dtype", "float32")
+        return None if dt == "float32" else dt
+
     def _model_batch(self, batch: Dict, step: int, train: bool) -> Dict:
         aug = self.augment_train if train else self.augment_eval
         out = {k: batch[k] for k in ("context", "posterior", "target")}
@@ -261,14 +266,16 @@ class Trainer:
                         break
                 if step % cfg.checkpoint_every == 0:
                     # async write: snapshot now, file IO off the step path
-                    self.ckpt.save(state, self.cfg, block=False)
+                    self.ckpt.save(state, self.cfg, block=False,
+                                   on_disk_param_dtype=self._disk_dtype())
         finally:
             if self.profile_dir:
                 jax.profiler.stop_trace()
             for sig, handler in old_handlers.items():
                 signal.signal(sig, handler)
         if self.cfg.checkpoint_at_end:
-            self.ckpt.save(state, self.cfg, block=True)
+            self.ckpt.save(state, self.cfg, block=True,
+                           on_disk_param_dtype=self._disk_dtype())
         return state
 
     # ------------------------------------------------------------------

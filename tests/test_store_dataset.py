@@ -186,6 +186,35 @@ class TestStoreDataset:
         assert int(batch["posterior"][0, 1]) == vocab("color")
         assert np.all(batch["posterior"][:, 0] == 5)  # <pos>
 
+    def test_shard_partition(self, fake_coco):
+        """--shard I/N: shards are disjoint and union to the unsharded QA
+        set (multihost ETL, each host writes one shard)."""
+        _run(fake_coco)  # builds vocab + unsharded reference output
+        with h5py.File(fake_coco["output"], "r") as h5:
+            full_qids = [tuple(q) for q in h5["questions"][:]
+                         if q.any()]
+
+        shard_qids = []
+        for i in range(2):
+            out = dict(fake_coco,
+                       output=fake_coco["output"] + f".shard{i}")
+            _run(out, extra=("--shard", f"{i}/2"))
+            with h5py.File(out["output"], "r") as h5:
+                rows = [tuple(q) for q in h5["questions"][:] if q.any()]
+                # shard-local image_indices stay in range of this shard's
+                # images table
+                n_img = h5["images"].shape[0]
+                assert all(0 <= ix < n_img
+                           for ix in h5["image_indices"][:len(rows)])
+                shard_qids.append(rows)
+
+        assert not set(shard_qids[0]) & set(shard_qids[1])
+        assert sorted(shard_qids[0] + shard_qids[1]) == sorted(full_qids)
+
+    def test_shard_flag_validation(self, fake_coco):
+        with pytest.raises(SystemExit):
+            _run(fake_coco, extra=("--shard", "2/2"))
+
     def test_question_tokens_roundtrip(self, fake_coco):
         """Stored question ids detokenize per the vocab rules: category and
         answer words are always in-vocab; question-only words below the

@@ -141,6 +141,36 @@ with open(os.path.join(trial_dir, f"end_{rung}"), "w") as f:
         seq = {t["id"]: (t["step"], t["metric"]) for t in oracle["trials"]}
         assert par == seq
 
+    def test_slot_envs_route_children(self, tmp_path):
+        """Each concurrent slot's env overrides reach its children — the
+        per-slot TPU-slice routing used by `cli.tune --slot-env`."""
+        import sys
+        from blt_vqg_tpu.train.tune import run_tune_parallel
+        script = tmp_path / "env_trial.py"
+        script.write_text(self.FAKE_TRIAL.replace(
+            'json.dump({"metric": float(tid), "step": rung}, f)',
+            'json.dump({"metric": float(tid), "step": rung, '
+            '"slice": os.environ.get("FAKE_SLICE")}, f)'))
+        base = Config(num_pretraining_steps=2, total_training_steps=6)
+
+        def trial_argv_fn(cfg, trial_dir, stop_at_step):
+            return [sys.executable, "-S", str(script), trial_dir,
+                    str(stop_at_step)]
+
+        out_dir = str(tmp_path / "tune")
+        run_tune_parallel(
+            base, trial_argv_fn, num_samples=2, max_concurrent=2, seed=0,
+            output_dir=out_dir, poll_interval=0.05,
+            slot_envs=[{"FAKE_SLICE": "s0"}, {"FAKE_SLICE": "s1"}])
+        seen = set()
+        for t in range(2):
+            tdir = os.path.join(out_dir, f"trial_{t}")
+            for name in os.listdir(tdir):
+                if name.startswith("result_"):
+                    with open(os.path.join(tdir, name)) as f:
+                        seen.add(json.load(f)["slice"])
+        assert seen == {"s0", "s1"}
+
     def test_failed_child_kills_trial(self, tmp_path):
         import sys
         from blt_vqg_tpu.train.tune import run_tune_parallel
