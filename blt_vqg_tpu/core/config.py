@@ -111,6 +111,14 @@ class Config:
                                       # trailing ReLU+dropout quirk
                                       # (transformer_layers.py:400-408) —
                                       # used by golden-parity runs
+    sequence_parallel: bool = False   # shard self-attention sequence dim
+                                      # over a "seq" mesh axis (ring
+                                      # attention, ops/ring_attention.py);
+                                      # pass the seq-axis mesh to the model
+                                      # (Trainer does).  Long-context
+                                      # variants only — lengths that don't
+                                      # divide the axis fall back to full
+                                      # attention per (static) shape
     checkpoint_param_dtype: str = "float32"  # "bfloat16": half-size params
                                       # on disk (core/checkpoint.py); restore
                                       # casts back — for slow disks/tunnels
@@ -232,6 +240,10 @@ def add_config_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     parser.add_argument("--num_model_shards", type=int, default=1,
                         help="size of the 'model' mesh axis")
     parser.add_argument("--use_pallas_attention", action="store_true")
+    parser.add_argument("--sequence_parallel", action="store_true")
+    parser.add_argument("--num_seq_shards", type=int, default=1,
+                        help="size of the 'seq' mesh axis (with "
+                        "--sequence_parallel)")
     parser.add_argument("--remat", action="store_true")
     parser.add_argument("--guard_nonfinite", action="store_true")
     parser.add_argument("--debug_nans", action="store_true")
@@ -269,5 +281,10 @@ def config_from_args(args: argparse.Namespace) -> Config:
     kw = {k: v for k, v in vars(args).items() if k in fields and v is not None}
     d = getattr(args, "num_data_shards", 1)
     m = getattr(args, "num_model_shards", 1)
-    kw["mesh_shape"] = (d, m)
+    s = getattr(args, "num_seq_shards", 1)
+    if getattr(args, "sequence_parallel", False) and s > 1:
+        kw["mesh_shape"] = (d, m, s)
+        kw["mesh_axis_names"] = ("data", "model", "seq")
+    else:
+        kw["mesh_shape"] = (d, m)
     return Config(**kw)

@@ -40,6 +40,9 @@ PAD, START, END = 0, 1, 3  # reserved ids (text/vocabulary.py contract)
 class IQ(nn.Module):
     cfg: Config
     vocab_size: int
+    # sequence-parallel mesh (must carry a "seq" axis) — activates ring
+    # attention in the encoder/decoder stacks when cfg.sequence_parallel
+    mesh: Any = None
 
     def setup(self):
         cfg = self.cfg
@@ -63,7 +66,8 @@ class IQ(nn.Module):
             relu_dropout=cfg.relu_dropout, layer_dropout=cfg.layer_dropout,
             input_dropout=cfg.input_dropout, dtype=dtype,
             use_pallas=cfg.use_pallas_attention, remat=cfg.remat,
-            compat_trailing_relu=cfg.compat_trailing_relu)
+            compat_trailing_relu=cfg.compat_trailing_relu,
+            ring_mesh=(self.mesh if cfg.sequence_parallel else None))
         # context encoder ("encoder") + posterior encoder ("r_encoder"),
         # reference encoder_transformer.py:12-19
         self.context_encoder = TransformerEncoder(**enc_kw, name="context_encoder")

@@ -34,6 +34,13 @@ class MultiHeadAttention(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     use_pallas: bool = False
     causal: bool = False  # decoder self-attention: mask j > i structurally
+    # sequence parallelism: when a mesh with ``seq_axis`` is given, full
+    # attention whose length divides the axis runs as ring attention
+    # (ops/ring_attention.py) with Q resident and K/V rotating over ICI;
+    # shapes that don't divide (or dropout-active calls) fall back to the
+    # einsum path — a Python-time decision, so each jitted program is static
+    ring_mesh: Optional[object] = None
+    seq_axis: str = "seq"
 
     @property
     def head_dim(self) -> int:
@@ -65,10 +72,33 @@ class MultiHeadAttention(nn.Module):
         k = self._split(self.k_proj(kv_in))
         v = self._split(self.v_proj(kv_in))
 
-        use_pallas = (self.use_pallas
+        ring_n = (self.ring_mesh.shape.get(self.seq_axis, 1)
+                  if self.ring_mesh is not None else 1)
+        use_ring = (ring_n > 1
+                    and q_in.shape[1] == kv_in.shape[1]
+                    and q_in.shape[1] % ring_n == 0
+                    and (mask is None or mask.shape[2] == 1)
+                    and (self.dropout_rate == 0.0 or deterministic))
+        use_pallas = (self.use_pallas and not use_ring
                       and (mask is None or mask.shape[2] == 1)
                       and (self.dropout_rate == 0.0 or deterministic))
-        if use_pallas:
+        if use_ring:
+            from blt_vqg_tpu.ops.ring_attention import ring_attention
+            kv_pad = None if mask is None else jnp.broadcast_to(
+                mask[:, 0, 0, :], (kv_in.shape[0], kv_in.shape[1]))
+            names = self.ring_mesh.shape
+            ctx = ring_attention(
+                q, k, v, self.ring_mesh, axis=self.seq_axis,
+                causal=self.causal, kv_pad=kv_pad,
+                # batches/heads are independent: keep their DP/TP shardings
+                # across the shard_map boundary (no extra collectives)
+                batch_axis=("data" if "data" in names
+                            and q_in.shape[0] % names["data"] == 0
+                            else None),
+                head_axis=("model" if "model" in names
+                           and self.num_heads % names["model"] == 0
+                           else None))
+        elif use_pallas:
             from blt_vqg_tpu.ops.pallas.flash_attention import flash_attention
             kv_pad = None if mask is None else jnp.broadcast_to(
                 mask[:, 0, 0, :], (kv_in.shape[0], kv_in.shape[1]))

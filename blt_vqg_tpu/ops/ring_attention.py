@@ -30,13 +30,20 @@ NEG_INF = -1e30
 def ring_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                    mesh: Mesh, axis: str = "data",
                    causal: bool = False,
-                   kv_pad: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                   kv_pad: Optional[jnp.ndarray] = None,
+                   batch_axis: Optional[str] = None,
+                   head_axis: Optional[str] = None) -> jnp.ndarray:
     """Sequence-parallel attention.
 
     q/k/v [B, T, H, D] with T sharded over ``axis`` (q pre-scaled by
     1/sqrt(D) upstream).  ``kv_pad`` [B, T] bool (True = masked) is the
     key-padding mask; its shards rotate around the ring with K/V.
     Returns [B, T, H, D] sharded the same way.
+
+    ``batch_axis``/``head_axis`` (optional) keep the batch and head dims
+    sharded over those mesh axes across the shard_map boundary — batches
+    and heads are independent in attention, so DP×TP×SP compose with no
+    extra collectives (the ppermute rides only the ``axis`` ring).
     """
     n = mesh.shape[axis]
     t = q.shape[1]
@@ -46,8 +53,8 @@ def ring_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         kv_pad = jnp.zeros((q.shape[0], t), bool)
     kv_pad = jnp.broadcast_to(kv_pad, (q.shape[0], t))
 
-    spec = P(None, axis, None, None)
-    pad_spec = P(None, axis)
+    spec = P(batch_axis, axis, head_axis, None)
+    pad_spec = P(batch_axis, axis)
 
     @functools.partial(
         shard_map, mesh=mesh, in_specs=(spec, spec, spec, pad_spec),
@@ -64,7 +71,7 @@ def ring_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         l0 = jnp.zeros((b, h, c, 1), jnp.float32)
 
         def body(step, carry):
-            acc, m, l, k_cur, v_cur = carry
+            acc, m, l, k_cur, v_cur, pad_cur = carry
             # the block visiting at this step originated on device my - step
             src = (my - step) % n
             k_offset = src * chunk
@@ -73,6 +80,7 @@ def ring_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                 acc, m, l = args
                 s = jnp.einsum("bqhd,bkhd->bhqk", q_l, k_cur,
                                preferred_element_type=jnp.float32)
+                s = jnp.where(pad_cur[:, None, None, :], NEG_INF, s)
                 if causal:
                     rows = q_offset + jnp.arange(c)[:, None]
                     cols = k_offset + jnp.arange(c)[None, :]
@@ -95,16 +103,17 @@ def ring_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             else:
                 acc, m, l = upd((acc, m, l))
 
-            # rotate k/v to the next device (one ICI hop)
+            # rotate k/v (+ their pad shard) to the next device (one ICI hop)
             perm = [(i, (i + 1) % n) for i in range(n)]
             k_nxt = jax.lax.ppermute(k_cur, axis, perm)
             v_nxt = jax.lax.ppermute(v_cur, axis, perm)
-            return acc, m, l, k_nxt, v_nxt
+            pad_nxt = jax.lax.ppermute(pad_cur, axis, perm)
+            return acc, m, l, k_nxt, v_nxt, pad_nxt
 
-        acc, m, l, _, _ = jax.lax.fori_loop(
-            0, n, body, (acc0, m0, l0, k_l, v_l))
+        acc, m, l, _, _, _ = jax.lax.fori_loop(
+            0, n, body, (acc0, m0, l0, k_l, v_l, pad_l))
         l_t = jnp.transpose(l, (0, 2, 1, 3))            # [B, C, H, 1]
         safe = jnp.where(l_t == 0.0, 1.0, l_t)
         return (acc / safe).astype(q_l.dtype)
 
-    return _ring(q, k, v)
+    return _ring(q, k, v, kv_pad)

@@ -60,12 +60,14 @@ class EncoderLayer(nn.Module):
     use_pallas: bool = False
     activation: str = "relu"
     compat_trailing_relu: bool = False
+    ring_mesh: object = None  # sequence-parallel mesh (ops/attention.py)
 
     def setup(self):
         self.ln_mha = nn.LayerNorm(dtype=self.dtype, name="ln_mha")
         self.mha = MultiHeadAttention(
             self.hidden_dim, self.num_heads, self.attention_dropout,
-            dtype=self.dtype, use_pallas=self.use_pallas, name="mha")
+            dtype=self.dtype, use_pallas=self.use_pallas,
+            ring_mesh=self.ring_mesh, name="mha")
         self.ln_ffn = nn.LayerNorm(dtype=self.dtype, name="ln_ffn")
         self.ffn = PositionwiseFeedForward(
             self.hidden_dim, self.pwffn_dim, self.relu_dropout,
@@ -98,6 +100,7 @@ class TransformerEncoder(nn.Module):
     use_pallas: bool = False
     remat: bool = False
     compat_trailing_relu: bool = False
+    ring_mesh: object = None
 
     def setup(self):
         layer_cls = nn.remat(EncoderLayer) if self.remat else EncoderLayer
@@ -106,6 +109,7 @@ class TransformerEncoder(nn.Module):
                       self.attention_dropout, self.relu_dropout,
                       self.layer_dropout, self.dtype, self.use_pallas,
                       compat_trailing_relu=self.compat_trailing_relu,
+                      ring_mesh=self.ring_mesh,
                       name=f"layer_{i}")
             for i in range(self.num_layers)
         ]
@@ -131,13 +135,14 @@ class DecoderLayer(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     use_pallas: bool = False
     compat_trailing_relu: bool = False
+    ring_mesh: object = None  # sequence-parallel self-attention only
 
     def setup(self):
         self.ln_self = nn.LayerNorm(dtype=self.dtype, name="ln_self")
         self.self_attn = MultiHeadAttention(
             self.hidden_dim, self.num_heads, self.attention_dropout,
             dtype=self.dtype, use_pallas=self.use_pallas, causal=True,
-            name="self_attn")
+            ring_mesh=self.ring_mesh, name="self_attn")
         self.ln_cross = nn.LayerNorm(dtype=self.dtype, name="ln_cross")
         self.cross_attn = MultiHeadAttention(
             self.hidden_dim, self.num_heads, self.attention_dropout,
@@ -196,6 +201,7 @@ class TransformerDecoder(nn.Module):
     remat: bool = False
     max_decode_len: int = 64
     compat_trailing_relu: bool = False
+    ring_mesh: object = None
 
     def setup(self):
         layer_cls = nn.remat(DecoderLayer) if self.remat else DecoderLayer
@@ -204,6 +210,7 @@ class TransformerDecoder(nn.Module):
                       self.attention_dropout, self.relu_dropout,
                       self.layer_dropout, self.dtype, self.use_pallas,
                       compat_trailing_relu=self.compat_trailing_relu,
+                      ring_mesh=self.ring_mesh,
                       name=f"layer_{i}")
             for i in range(self.num_layers)
         ]

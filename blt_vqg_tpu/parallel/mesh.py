@@ -14,9 +14,11 @@ Strategy coverage (SURVEY.md §2.4):
 - Trial parallelism: train/tune.py (ASHA) — one accelerator per trial.
 - PP: intentionally out of scope — the flagship is 6 layers; pipelining
   would add bubbles for no memory win at this depth.
-- SP/CP/ring attention: out of scope for parity (sequences ≤ 23 tokens);
-  the Pallas flash-attention kernel is written blockwise over keys, which
-  is the substrate a ``seq`` mesh axis would plug into.
+- SP/CP: first-class for long-context variants — ``cfg.sequence_parallel``
+  routes encoder/decoder self-attention through ring attention
+  (ops/ring_attention.py) over a ``seq`` mesh axis, composing with DP/TP
+  (batch and head dims keep their shardings across the shard_map boundary).
+  Not needed for reference parity (sequences ≤ 23 tokens).
 - EP: no MoE in this model family.
 """
 

@@ -92,7 +92,8 @@ class Trainer:
             from blt_vqg_tpu.models.iq_rnn import IQRNN
             self.model = IQRNN(cfg, len(vocab))
         else:
-            self.model = IQ(cfg, len(vocab))
+            self.model = IQ(cfg, len(vocab),
+                            mesh=(mesh if cfg.sequence_parallel else None))
         self.rngs = RngStream(cfg.seed)
         self.nlge = NLGEval(no_glove=True, no_skipthoughts=True)
         self.writer = MetricWriter(cfg.output_dir)

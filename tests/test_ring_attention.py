@@ -67,3 +67,95 @@ class TestRingAttention:
         q, k, v = rand_qkv(1, 60, 2, 8)
         with pytest.raises(AssertionError):
             ring_attention(q, k, v, seq_mesh, axis="seq")
+
+    def test_kv_pad_mask_matches_full(self, seq_mesh):
+        """Key-padding mask shards rotate with K/V around the ring."""
+        q, k, v = rand_qkv(2, 64, 2, 8, seed=3)
+        pad = jnp.zeros((2, 64), bool).at[:, 40:].set(True)
+        out = ring_attention(q, k, v, seq_mesh, axis="seq", kv_pad=pad)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                            preferred_element_type=jnp.float32)
+        logits = jnp.where(pad[:, None, None, :], -1e30, logits)
+        w = jax.nn.softmax(logits, axis=-1)
+        ref = jnp.einsum("bhqk,bkhd->bqhd", w.astype(v.dtype), v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-3)
+
+    def test_causal_plus_pad(self, seq_mesh):
+        q, k, v = rand_qkv(1, 32, 2, 8, seed=4)
+        pad = jnp.zeros((1, 32), bool).at[:, 20:].set(True)
+        out = ring_attention(q, k, v, seq_mesh, axis="seq", causal=True,
+                             kv_pad=pad)
+        t = 32
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                            preferred_element_type=jnp.float32)
+        cm = jnp.triu(jnp.ones((t, t), bool), 1)[None, None]
+        logits = jnp.where(cm | pad[:, None, None, :], -1e30, logits)
+        w = jax.nn.softmax(logits, axis=-1)
+        ref = jnp.einsum("bhqk,bkhd->bqhd", w.astype(v.dtype), v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-3)
+
+
+class TestSequenceParallelIntegration:
+    """sequence_parallel config routes encoder/decoder self-attention
+    through ring attention; outputs must match the plain model bit-for-bit
+    up to f32 tolerance (same params)."""
+
+    def test_encoder_matches_plain(self, seq_mesh):
+        from blt_vqg_tpu.ops.transformer import TransformerEncoder
+        kw = dict(hidden_dim=32, num_layers=2, num_heads=4, pwffn_dim=64,
+                  attention_dropout=0.0, relu_dropout=0.0,
+                  dtype=jnp.float32)
+        plain = TransformerEncoder(**kw)
+        ringd = TransformerEncoder(**kw, ring_mesh=seq_mesh)
+        x = jax.random.normal(jax.random.key(0), (2, 16, 32), jnp.float32)
+        mask = jnp.zeros((2, 1, 1, 16), bool).at[:, :, :, 12:].set(True)
+        params = plain.init(jax.random.key(1), x, mask)
+        a = plain.apply(params, x, mask)
+        b = ringd.apply(params, x, mask)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+    def test_iq_forward_matches_plain(self, seq_mesh, vocab_size):
+        """Full IQ forward with cfg.sequence_parallel: self-attention whose
+        length divides the seq axis rings; the rest falls back — logits
+        must match the plain model."""
+        from blt_vqg_tpu.core.config import Config
+        from blt_vqg_tpu.models.iq import IQ
+
+        cfg = Config(emb_dim=16, hidden_dim=32, latent_dim=24, pwffn_dim=64,
+                     num_layers=2, num_heads=4, max_q_length=16,
+                     max_a_length=4, max_decode_length=12,
+                     attention_dropout=0.0, relu_dropout=0.0,
+                     dtype="float32", image_size=32)
+        r = np.random.RandomState(0)
+        b = 2
+        batch = dict(
+            images=r.rand(b, 32, 32, 3).astype(np.float32),
+            context=r.randint(1, vocab_size, (b, cfg.max_context_len)
+                              ).astype(np.int32),
+            posterior=r.randint(1, vocab_size, (b, cfg.max_posterior_len)
+                                ).astype(np.int32),
+            target=r.randint(1, vocab_size, (b, cfg.max_q_length)
+                             ).astype(np.int32))
+        plain = IQ(cfg, vocab_size)
+        sp = IQ(cfg.replace(sequence_parallel=True), vocab_size,
+                mesh=seq_mesh)
+        rngs = {"params": jax.random.key(0),
+                "latent": jax.random.key(1),
+                "dropout": jax.random.key(2)}
+        variables = plain.init(rngs, batch["images"], batch["context"],
+                               batch["posterior"], batch["target"],
+                               latent_mode=True, train=False)
+        out_a = plain.apply(variables, batch["images"], batch["context"],
+                            batch["posterior"], batch["target"],
+                            latent_mode=True, train=False,
+                            rngs={"latent": jax.random.key(3)})
+        out_b = sp.apply(variables, batch["images"], batch["context"],
+                         batch["posterior"], batch["target"],
+                         latent_mode=True, train=False,
+                         rngs={"latent": jax.random.key(3)})
+        np.testing.assert_allclose(np.asarray(out_a[0]),
+                                   np.asarray(out_b[0]), atol=2e-3)
+        np.testing.assert_allclose(float(out_a[2]), float(out_b[2]),
+                                   rtol=1e-5)
