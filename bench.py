@@ -164,6 +164,28 @@ def bench_jax() -> dict:
     decode_qps = time_decode(with_probe=False)
     decode_qps_probe = time_decode(with_probe=True)
 
+    # ---- serving-throughput decode: the decode chain is LATENCY-bound
+    # (benchmarks/METHODOLOGY.md), so a bigger batch amortizes it —
+    # batch 512 is the throughput-serving configuration
+    dec_b = 512
+    cfg_dec = cfg.replace(batch_size=dec_b)
+    model_dec = IQ(cfg_dec, vocab_size)
+    batch_dec = {k: jax.device_put(v) for k, v in
+                 _example_batch(cfg_dec, vocab_size, dec_b).items()}
+    state_dec = create_train_state(cfg_dec, model_dec, jax.random.key(0),
+                                   batch_dec)
+    dec512 = make_decode_step(cfg_dec, model_dec, latent_mode=True,
+                              with_probe=False)
+
+    def run_dec512(k):
+        for i in range(k):
+            out = dec512(state_dec, batch_dec["images"],
+                         batch_dec["context"], jax.random.key(i))
+        return float(tok_sum(out["tokens"]))
+
+    decode_qps_512 = dec_b / _slope_time(run_dec512, 2, 7)
+    del state_dec, batch_dec
+
     # ---- throughput-config scaling point (batch 64 leaves the MXU partly
     # idle at this model size; batch 256 is the serving/training sweet spot)
     big_b = 256
@@ -187,10 +209,12 @@ def bench_jax() -> dict:
     platform = jax.devices()[0].platform
     log(f"jax[{platform}]: {train_sps:.1f} samples/s train (b64), "
         f"{train_sps_256:.1f} (b256), {decode_qps:.1f} q/s serving decode "
-        f"({decode_qps_probe:.1f} probed), compile {compile_s:.1f}s")
+        f"({decode_qps_probe:.1f} probed, {decode_qps_512:.1f} @b512), "
+        f"compile {compile_s:.1f}s")
     return {"train_sps": train_sps, "train_sps_single": train_sps_single,
             "train_sps_256": train_sps_256,
             "decode_qps": decode_qps, "decode_qps_probe": decode_qps_probe,
+            "decode_qps_512": decode_qps_512,
             "platform": platform, "compile_s": compile_s,
             "step_ms": step_ms}
 
@@ -355,6 +379,7 @@ def main():
         "train_samples_per_sec_batch256": round(jx["train_sps_256"], 2),
         "decode_questions_per_sec": round(jx["decode_qps"], 2),
         "decode_questions_per_sec_probed": round(jx["decode_qps_probe"], 2),
+        "decode_questions_per_sec_batch512": round(jx["decode_qps_512"], 2),
         "compile_s": round(jx["compile_s"], 1),
         "methodology": "readback-synchronized two-point slope (this box's "
         "tunneled backend returns from block_until_ready before device "

@@ -81,6 +81,10 @@ class Config:
     mesh_shape: Tuple[int, ...] = (1, 1)   # (data, model)
     mesh_axis_names: Tuple[str, ...] = ("data", "model")
     use_pallas_attention: bool = False
+    use_pallas_decode: bool = False   # fused per-layer decode step: 2 Pallas
+                                      # ops instead of ~15 XLA ops on the
+                                      # latency-bound serial decode chain
+                                      # (ops/pallas/decode_layer.py)
     remat: bool = False               # jax.checkpoint the transformer blocks
     seed: int = 0
     image_size: int = 224
@@ -241,6 +245,7 @@ def add_config_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
                         help="size of the 'model' mesh axis")
     parser.add_argument("--use_pallas_attention", action="store_true")
     parser.add_argument("--sequence_parallel", action="store_true")
+    parser.add_argument("--use_pallas_decode", action="store_true")
     parser.add_argument("--num_seq_shards", type=int, default=1,
                         help="size of the 'seq' mesh axis (with "
                         "--sequence_parallel)")

@@ -78,6 +78,7 @@ class IQ(nn.Module):
         self.decoder = TransformerDecoder(
             **enc_kw, max_decode_len=max(cfg.max_decode_length + 1,
                                          cfg.max_target_len),
+            use_pallas_decode=cfg.use_pallas_decode,
             name="decoder")
         self.output_proj = nn.Dense(self.vocab_size, dtype=jnp.float32,
                                     name="output_proj")
@@ -244,8 +245,9 @@ class IQ(nn.Module):
             # reorder caches along the beam dim to follow the parents
             flat_parent = (jnp.arange(b)[:, None] * k_beams
                            + parent).reshape(b * k_beams)
+            cba = self.decoder.cache_batch_axis
             def reorder(c):
-                return jnp.take(c, flat_parent, axis=0)
+                return jnp.take(c, flat_parent, axis=cba)
             new_caches = [(reorder(ck), reorder(cv))
                           for ck, cv in new_caches]
 

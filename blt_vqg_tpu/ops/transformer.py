@@ -136,6 +136,7 @@ class DecoderLayer(nn.Module):
     use_pallas: bool = False
     compat_trailing_relu: bool = False
     ring_mesh: object = None  # sequence-parallel self-attention only
+    use_pallas_decode: bool = False  # fused 2-kernel decode step
 
     def setup(self):
         self.ln_self = nn.LayerNorm(dtype=self.dtype, name="ln_self")
@@ -174,6 +175,9 @@ class DecoderLayer(nn.Module):
     def step(self, x_t, cache_k, cache_v, ck, cv, pos, src_mask):
         """One decode step. x_t [B,1,D]; caches [B,L,H,Dh]; (ck, cv) are the
         precomputed cross-attention K/V for this layer."""
+        if self.use_pallas_decode:
+            return self._step_pallas(x_t, cache_k, cache_v, ck, cv, pos,
+                                     src_mask)
         xn = self.ln_self(x_t)
         y, cache_k, cache_v = self.self_attn.step(xn, cache_k, cache_v, pos)
         x_t = x_t + y
@@ -181,6 +185,50 @@ class DecoderLayer(nn.Module):
         x_t = x_t + y
         y = self.ffn(self.ln_ffn(x_t), deterministic=True)
         return x_t + y, cache_k, cache_v
+
+    def _step_pallas(self, x_t, cache_k, cache_v, ck, cv, pos, src_mask):
+        """Fused decode step: two Pallas ops instead of ~15 XLA ops — the
+        serial-chain diet (ops/pallas/decode_layer.py).  All the weight
+        regrouping below is loop-invariant, so XLA hoists it out of the
+        decode scan; only the two kernels run per step."""
+        from blt_vqg_tpu.ops.pallas.decode_layer import (cross_ffn_step,
+                                                         self_attn_step)
+        h = self.num_heads
+        d = self.hidden_dim
+        dh = d // h
+        sp = self.self_attn.variables["params"]
+        # [H, D, 3*Dh]: head-h column slices of the fused QKV kernel
+        wqkv = jnp.stack([
+            jnp.concatenate([sp[n]["kernel"][:, i * dh:(i + 1) * dh]
+                             for n in ("q_proj", "k_proj", "v_proj")], axis=1)
+            for i in range(h)]).astype(self.dtype)
+        # [H, Dh, D]: head-h row slices of the output projection
+        wout = jnp.stack([
+            sp["out_proj"]["kernel"][i * dh:(i + 1) * dh, :]
+            for i in range(h)]).astype(self.dtype)
+        lns = self.ln_self.variables["params"]
+        y = self_attn_step(
+            x_t[:, 0], lns["scale"], lns["bias"], wqkv, wout,
+            cache_k, cache_v, pos, h)
+        x2, cache_k, cache_v = y
+
+        cp = self.cross_attn.variables["params"]
+        lnc = self.ln_cross.variables["params"]
+        lnf = self.ln_ffn.variables["params"]
+        fp = self.ffn.variables["params"]
+        b = x_t.shape[0]
+        pad = (jnp.broadcast_to(src_mask[:, 0, 0, :], (b, ck.shape[1]))
+               if src_mask is not None
+               else jnp.zeros((b, ck.shape[1]), bool))
+        out = cross_ffn_step(
+            x2, lnc["scale"], lnc["bias"],
+            cp["q_proj"]["kernel"].astype(self.dtype), ck, cv, pad,
+            cp["out_proj"]["kernel"].astype(self.dtype),
+            lnf["scale"], lnf["bias"],
+            fp["ffn_in"]["kernel"].astype(self.dtype), fp["ffn_in"]["bias"],
+            fp["ffn_out"]["kernel"].astype(self.dtype), fp["ffn_out"]["bias"],
+            h)
+        return out[:, None, :], cache_k, cache_v
 
 
 class TransformerDecoder(nn.Module):
@@ -202,6 +250,7 @@ class TransformerDecoder(nn.Module):
     max_decode_len: int = 64
     compat_trailing_relu: bool = False
     ring_mesh: object = None
+    use_pallas_decode: bool = False
 
     def setup(self):
         layer_cls = nn.remat(DecoderLayer) if self.remat else DecoderLayer
@@ -211,6 +260,7 @@ class TransformerDecoder(nn.Module):
                       self.layer_dropout, self.dtype, self.use_pallas,
                       compat_trailing_relu=self.compat_trailing_relu,
                       ring_mesh=self.ring_mesh,
+                      use_pallas_decode=self.use_pallas_decode,
                       name=f"layer_{i}")
             for i in range(self.num_layers)
         ]
@@ -230,10 +280,22 @@ class TransformerDecoder(nn.Module):
     def precompute_cross(self, enc_out) -> List[Tuple[jnp.ndarray, jnp.ndarray]]:
         return [layer.cross_kv(enc_out) for layer in self.layers]
 
+    @property
+    def cache_batch_axis(self) -> int:
+        """Axis of the batch dim in the KV caches (beam search reorders
+        along it)."""
+        return 2 if self.use_pallas_decode else 0
+
     def init_cache(self, batch: int, max_len: int):
-        """Zeroed self-attention KV caches: list of (k, v) [B,L,H,Dh]."""
+        """Zeroed self-attention KV caches: list of (k, v) [B,L,H,Dh]
+        ([H,L,B,Dh] on the fused Pallas path: the per-step dynamic write at
+        ``pos`` must land in an untiled leading dim, and the tiled trailing
+        dims stay (B,Dh) — ops/pallas/decode_layer.py)."""
         head_dim = self.hidden_dim // self.num_heads
-        shape = (batch, max_len, self.num_heads, head_dim)
+        if self.use_pallas_decode:
+            shape = (self.num_heads, max_len, batch, head_dim)
+        else:
+            shape = (batch, max_len, self.num_heads, head_dim)
         z = jnp.zeros(shape, dtype=self.dtype)
         return [(z, z) for _ in range(self.num_layers)]
 

@@ -79,8 +79,14 @@ def shard_params(params: Any, mesh: Mesh) -> Any:
 
 
 def batch_sharding(mesh: Mesh, ndim: int = 2) -> NamedSharding:
-    """Leading-axis data sharding for a batch tensor of rank ``ndim``."""
-    return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
+    """Leading-axis data sharding for a batch tensor of rank ``ndim``.
+
+    Slice-aware: on a hybrid DCN×ICI mesh (build_hybrid_mesh's
+    ``dcn_data`` outer axis) the batch shards over BOTH data axes, so each
+    slice loads its own data and the only cross-slice traffic is the
+    once-per-step gradient all-reduce XLA emits over ``dcn_data``."""
+    axes = tuple(a for a in ("dcn_data", "data") if a in mesh.shape)
+    return NamedSharding(mesh, P(axes, *([None] * (ndim - 1))))
 
 
 def shard_batch(batch: Any, mesh: Mesh) -> Any:

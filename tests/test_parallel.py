@@ -105,3 +105,39 @@ class TestShardedStepParity:
                 float(m0[key]), float(m1[key]), rtol=2e-4, atol=1e-5,
                 err_msg=f"{key} diverged under sharding "
                         f"(latent={latent_mode})")
+
+    def test_hybrid_mesh_matches_single_device(self, tiny_cfg, vocab_size,
+                                               eight_devices):
+        """Slice-aware layout: a (2 dcn_data × 2 data × 2 model) hybrid mesh
+        shards the batch over BOTH data axes (4-way) and matches the
+        unsharded step numerically."""
+        from blt_vqg_tpu.parallel.mesh import build_hybrid_mesh
+        from blt_vqg_tpu.parallel.sharding import batch_sharding
+        from jax.sharding import PartitionSpec as P
+
+        cfg = tiny_cfg
+        model = IQ(cfg, vocab_size)
+        batch = _tiny_batch(cfg, 8)
+
+        state0 = create_train_state(cfg, model, jax.random.key(0), batch)
+        step0 = make_train_step(cfg, latent_mode=True)
+        _, m0 = step0(state0, batch, jax.random.key(7))
+
+        mesh = build_hybrid_mesh(dcn_data=2, model=2)
+        assert dict(mesh.shape) == {"dcn_data": 2, "data": 2, "model": 2}
+        assert batch_sharding(mesh).spec == P(("dcn_data", "data"), None)
+        state1 = create_train_state(cfg, model, jax.random.key(0), batch)
+        state1 = state1.replace(
+            params=shard_params(state1.params, mesh),
+            batch_stats=replicate(state1.batch_stats, mesh),
+            opt_state=replicate(state1.opt_state, mesh))
+        step1 = make_train_step(cfg, latent_mode=True, mesh=mesh)
+        sharded = shard_batch(batch, mesh)
+        # the batch is physically split 4 ways (2 dcn_data × 2 data)
+        assert len({s.index for s in sharded["images"].addressable_shards
+                    }) == 4
+        _, m1 = step1(state1, sharded, jax.random.key(7))
+        for key in ("loss", "rec", "img", "kld"):
+            np.testing.assert_allclose(
+                float(m0[key]), float(m1[key]), rtol=2e-4, atol=1e-5,
+                err_msg=f"{key} diverged on the hybrid mesh")
