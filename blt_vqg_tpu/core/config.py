@@ -126,6 +126,15 @@ class Config:
     checkpoint_param_dtype: str = "float32"  # "bfloat16": half-size params
                                       # on disk (core/checkpoint.py); restore
                                       # casts back — for slow disks/tunnels
+    tie_output_z: bool = False        # share the vocab projection between
+                                      # output_proj and z_classifier — the
+                                      # two [hidden, vocab] heads are the
+                                      # largest params after the embedding;
+                                      # tying removes one from params,
+                                      # grads, and both Adam moments (HBM
+                                      # diet).  Off by default: the
+                                      # reference trains them separately
+                                      # (iq.py:45-48)
     adam_mu_dtype: str = "float32"    # "bfloat16" halves the first-moment
                                       # HBM traffic of the bandwidth-bound
                                       # train step (benchmarks/METHODOLOGY.md
@@ -246,6 +255,7 @@ def add_config_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     parser.add_argument("--use_pallas_attention", action="store_true")
     parser.add_argument("--sequence_parallel", action="store_true")
     parser.add_argument("--use_pallas_decode", action="store_true")
+    parser.add_argument("--tie_output_z", action="store_true")
     parser.add_argument("--num_seq_shards", type=int, default=1,
                         help="size of the 'seq' mesh axis (with "
                         "--sequence_parallel)")

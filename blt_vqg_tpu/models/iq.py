@@ -82,8 +82,13 @@ class IQ(nn.Module):
             name="decoder")
         self.output_proj = nn.Dense(self.vocab_size, dtype=jnp.float32,
                                     name="output_proj")
-        self.z_classifier = nn.Dense(self.vocab_size, dtype=jnp.float32,
-                                     name="z_classifier")
+        # tie_output_z: reuse the SAME module — flax shares its params, so
+        # one [hidden, vocab] head serves both roles (config-gated HBM diet;
+        # the reference trains separate heads, iq.py:45-48)
+        self.z_classifier = (self.output_proj if cfg.tie_output_z
+                             else nn.Dense(self.vocab_size,
+                                           dtype=jnp.float32,
+                                           name="z_classifier"))
         self.image_reconstructor = MLP(cfg.pwffn_dim, cfg.hidden_dim,
                                        num_layers=2, dtype=dtype,
                                        name="image_reconstructor")

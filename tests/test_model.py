@@ -121,3 +121,48 @@ class TestDecodeGreedy:
         # original untouched
         assert not np.array_equal(
             np.asarray(variables["params"]["embed"]["embedding"]), table)
+
+
+class TestTiedHead:
+    def test_tie_output_z_shares_params_and_trains(self, tiny_cfg,
+                                                   vocab_size):
+        """cfg.tie_output_z: one [hidden, vocab] head serves output_proj and
+        z_classifier — the z_classifier param subtree disappears and a
+        latent-phase train step still runs (both losses flow through the
+        shared kernel)."""
+        from blt_vqg_tpu.train.state import create_train_state
+        from blt_vqg_tpu.train.step import make_train_step
+
+        cfg = tiny_cfg.replace(tie_output_z=True)
+        model = IQ(cfg, vocab_size)
+        b = 4
+        r = np.random.RandomState(0)
+        batch = {
+            "images": r.rand(b, cfg.image_size, cfg.image_size, 3
+                             ).astype(np.float32),
+            "context": r.randint(1, vocab_size, (b, cfg.max_context_len)
+                                 ).astype(np.int32),
+            "posterior": r.randint(1, vocab_size, (b, cfg.max_posterior_len)
+                                   ).astype(np.int32),
+            "target": r.randint(1, vocab_size, (b, cfg.max_q_length)
+                                ).astype(np.int32),
+        }
+        state = create_train_state(cfg, model, jax.random.key(0), batch)
+        assert "z_classifier" not in state.params
+        assert "output_proj" in state.params
+
+        # untied control has strictly more params
+        untied = create_train_state(tiny_cfg, IQ(tiny_cfg, vocab_size),
+                                    jax.random.key(0), batch)
+        n_tied = sum(x.size for x in jax.tree.leaves(state.params))
+        n_untied = sum(x.size for x in jax.tree.leaves(untied.params))
+        assert n_untied - n_tied == (32 + 1) * vocab_size  # kernel + bias
+
+        step = make_train_step(cfg, latent_mode=True)
+        before = np.asarray(state.params["output_proj"]["kernel"]).copy()
+        for i in range(2):
+            state, m = step(state, batch,
+                            jax.random.fold_in(jax.random.key(1), i))
+        assert np.isfinite(float(m["loss"])) and float(m["aux"]) > 0
+        after = np.asarray(state.params["output_proj"]["kernel"])
+        assert np.abs(after - before).max() > 0  # the shared head moved
