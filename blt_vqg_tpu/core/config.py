@@ -123,6 +123,12 @@ class Config:
                                       # variants only — lengths that don't
                                       # divide the axis fall back to full
                                       # attention per (static) shape
+    ring_attention_impl: str = "xla"  # with sequence_parallel: "xla" =
+                                      # ppermute-per-hop ring; "pallas" =
+                                      # RDMA inner loop (one kernel/device,
+                                      # make_async_remote_copy hops overlap
+                                      # block compute over ICI —
+                                      # ops/pallas/ring_attention.py)
     checkpoint_param_dtype: str = "float32"  # "bfloat16": half-size params
                                       # on disk (core/checkpoint.py); restore
                                       # casts back — for slow disks/tunnels
@@ -254,6 +260,8 @@ def add_config_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
                         help="size of the 'model' mesh axis")
     parser.add_argument("--use_pallas_attention", action="store_true")
     parser.add_argument("--sequence_parallel", action="store_true")
+    parser.add_argument("--ring_attention_impl", type=str, default="xla",
+                        choices=("xla", "pallas"))
     parser.add_argument("--use_pallas_decode", action="store_true")
     parser.add_argument("--tie_output_z", action="store_true")
     parser.add_argument("--num_seq_shards", type=int, default=1,

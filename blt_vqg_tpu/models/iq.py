@@ -67,7 +67,8 @@ class IQ(nn.Module):
             input_dropout=cfg.input_dropout, dtype=dtype,
             use_pallas=cfg.use_pallas_attention, remat=cfg.remat,
             compat_trailing_relu=cfg.compat_trailing_relu,
-            ring_mesh=(self.mesh if cfg.sequence_parallel else None))
+            ring_mesh=(self.mesh if cfg.sequence_parallel else None),
+            ring_impl=cfg.ring_attention_impl)
         # context encoder ("encoder") + posterior encoder ("r_encoder"),
         # reference encoder_transformer.py:12-19
         self.context_encoder = TransformerEncoder(**enc_kw, name="context_encoder")

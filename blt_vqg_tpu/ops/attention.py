@@ -41,6 +41,10 @@ class MultiHeadAttention(nn.Module):
     # einsum path — a Python-time decision, so each jitted program is static
     ring_mesh: Optional[object] = None
     seq_axis: str = "seq"
+    # "xla": ppermute-per-hop (ops/ring_attention.py, differentiable
+    # directly); "pallas": RDMA inner loop — one kernel per device, hops
+    # overlap compute (ops/pallas/ring_attention.py, custom-VJP backward)
+    ring_impl: str = "xla"
 
     @property
     def head_dim(self) -> int:
@@ -97,7 +101,8 @@ class MultiHeadAttention(nn.Module):
                             else None),
                 head_axis=("model" if "model" in names
                            and self.num_heads % names["model"] == 0
-                           else None))
+                           else None),
+                impl=self.ring_impl)
         elif use_pallas:
             from blt_vqg_tpu.ops.pallas.flash_attention import flash_attention
             kv_pad = None if mask is None else jnp.broadcast_to(

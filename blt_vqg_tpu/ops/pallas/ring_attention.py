@@ -1,0 +1,213 @@
+"""Ring attention with an RDMA inner loop (Pallas, TPU).
+
+The Pallas upgrade of ops/ring_attention.py: instead of one ``lax.ppermute``
+per hop — which serializes "rotate K/V, then compute" at the XLA level —
+each device runs ONE kernel for the whole ring.  K/V (+ the key-padding
+shard) rotate via ``pltpu.make_async_remote_copy`` (inter-chip RDMA over
+ICI) into double-buffered VMEM slots, so the hop for step s+1 is in flight
+*while* step s's block attention runs on the MXU: communication hides
+behind compute instead of bracketing it.
+
+Synchronization (the part ppermute gave for free):
+
+- per-hop send/recv DMA semaphores — ``rdma.wait()`` at the end of a step
+  guarantees the outgoing slot is drained and the incoming block landed;
+- a credit (REGULAR) semaphore for flow control: a device may only
+  overwrite its right neighbor's slot after the neighbor *consumed* it
+  (signaled to the left at slot-free time).  Without credits a fast device
+  laps a slow one and clobbers an unconsumed block — the classic
+  double-buffer race; the interpreter's semaphore checker catches it.
+
+Softmax state (running max / denominator / accumulator, all f32 in VMEM)
+follows the same online recurrence as ops/pallas/flash_attention.py; the
+[T, T] score matrix never exists, globally or locally.
+
+Scope: forward kernel, grid (ring_steps, B·H) per device, whole local
+shards resident in VMEM — sized for the serving/decode regime (local chunk
+x B·H that fits VMEM, ~4 comm slots + q/k/v/o + f32 accumulators).
+Training still differentiates: ring_attention(impl="pallas") installs this
+forward under a custom VJP whose backward recomputes through the XLA ring
+path (one extra forward, O(chunk²) memory, same autodiff math).
+
+Replaces nothing in the reference — the reference has no sequence
+parallelism at all (SURVEY.md §2.4: max seq 23 tokens); this is the
+long-context scaling path, validated against full attention on the
+8-virtual-device CPU mesh via the TPU interpreter (which simulates the
+remote DMAs and semaphores).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _ring_fwd_kernel(q_ref, k_ref, v_ref, pad_ref, o_ref,
+                     acc, m_acc, l_acc, kv_buf, pad_buf,
+                     kv_send, kv_recv, pad_send, pad_recv, free_sem,
+                     *, n: int, num_h: int, chunk: int, causal: bool,
+                     axis: str):
+    """One device's whole ring pass.
+
+    Refs (local shard, VMEM): q/k/v/o [B*H, C, Dh] (q pre-scaled), pad
+    [B, C] int8 (1 = masked key).  Grid (n, B*H): ring step outer, head
+    block inner.  Comm buffers: kv_buf [slot, k|v, B*H, C, Dh],
+    pad_buf [slot, B, C].
+    """
+    s = pl.program_id(0)
+    bh = pl.program_id(1)
+    nbh = pl.num_programs(1)
+    my = jax.lax.axis_index(axis)
+    right = jax.lax.rem(my + 1, n)
+    left = jax.lax.rem(my - 1 + n, n)
+    send_slot = jax.lax.rem(s, 2)
+    recv_slot = jax.lax.rem(s + 1, 2)
+
+    def kv_rdma():
+        return pltpu.make_async_remote_copy(
+            src_ref=kv_buf.at[send_slot],
+            dst_ref=kv_buf.at[recv_slot],
+            send_sem=kv_send.at[send_slot],
+            recv_sem=kv_recv.at[recv_slot],
+            device_id={axis: right},
+            device_id_type=pltpu.DeviceIdType.MESH)
+
+    def pad_rdma():
+        return pltpu.make_async_remote_copy(
+            src_ref=pad_buf.at[send_slot],
+            dst_ref=pad_buf.at[recv_slot],
+            send_sem=pad_send.at[send_slot],
+            recv_sem=pad_recv.at[recv_slot],
+            device_id={axis: right},
+            device_id_type=pltpu.DeviceIdType.MESH)
+
+    @pl.when((s == 0) & (bh == 0))
+    def _seed():
+        kv_buf[0, 0] = k_ref[:]
+        kv_buf[0, 1] = v_ref[:]
+        pad_buf[0] = pad_ref[:]
+
+    @pl.when(s == 0)
+    def _init():
+        acc[bh] = jnp.zeros((acc.shape[1], acc.shape[2]), jnp.float32)
+        m_acc[bh] = jnp.full((m_acc.shape[1], 1), NEG_INF, jnp.float32)
+        l_acc[bh] = jnp.zeros((l_acc.shape[1], 1), jnp.float32)
+
+    # kick off the next hop before computing on the current block: the RDMA
+    # rides ICI while the MXU works
+    @pl.when((bh == 0) & (s < n - 1))
+    def _comm_start():
+        @pl.when(s >= 1)
+        def _credit():  # right's landing slot must be consumed first
+            pltpu.semaphore_wait(free_sem.at[recv_slot], 1)
+        kv_rdma().start()
+        pad_rdma().start()
+
+    # ---- block attention: local Q vs. the block visiting at step s ----
+    src_dev = jax.lax.rem(my - s + n, n)
+    k_off = src_dev * chunk
+    q_off = my * chunk
+
+    def _update():
+        q = q_ref[bh]                     # [C, Dh]
+        k = kv_buf[send_slot, 0, bh]      # [C, Dh] — slot s%2 holds step s
+        v = kv_buf[send_slot, 1, bh]
+        b = jax.lax.div(bh, num_h)
+        pad = pad_buf[send_slot, b]       # [C] int8
+        sc = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        sc = jnp.where(pad[None, :] != 0, NEG_INF, sc)
+        if causal:
+            rows = q_off + jax.lax.broadcasted_iota(
+                jnp.int32, (chunk, chunk), 0)
+            cols = k_off + jax.lax.broadcasted_iota(
+                jnp.int32, (chunk, chunk), 1)
+            sc = jnp.where(cols > rows, NEG_INF, sc)
+        m_prev = m_acc[bh]                # [C, 1]
+        m_cur = jnp.max(sc, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(sc - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_acc[bh] = l_acc[bh] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        acc[bh] = acc[bh] * alpha + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m_acc[bh] = m_new
+
+    if causal:
+        # blocks entirely in the future contribute nothing — skip compute
+        # (the hop still happens: the ring must keep rotating)
+        pl.when(k_off <= q_off + chunk - 1)(_update)
+    else:
+        _update()
+
+    @pl.when((bh == nbh - 1) & (s < n - 1))
+    def _comm_finish():
+        kv_rdma().wait()
+        pad_rdma().wait()
+        # our outgoing slot is drained: left may overwrite it next hop.
+        # last producer step is n-2, whose consumer-wait is at step n-2's
+        # recv — signals past s == n-3 would dangle (nonzero sem at exit)
+        @pl.when(s < n - 2)
+        def _free():
+            pltpu.semaphore_signal(
+                free_sem.at[send_slot], inc=1, device_id={axis: left},
+                device_id_type=pltpu.DeviceIdType.MESH)
+
+    @pl.when(s == n - 1)
+    def _finalize():
+        l = l_acc[bh]
+        safe = jnp.where(l == 0.0, 1.0, l)  # fully-masked rows -> 0 output
+        o_ref[bh] = (acc[bh] / safe).astype(o_ref.dtype)
+
+
+def ring_attention_fwd_shard(q_l: jnp.ndarray, k_l: jnp.ndarray,
+                             v_l: jnp.ndarray, pad_l: jnp.ndarray,
+                             *, axis: str, n: int, causal: bool,
+                             interpret=None) -> jnp.ndarray:
+    """Per-device body (call INSIDE shard_map over the ``axis`` ring).
+
+    q_l/k_l/v_l [B, C, H, Dh] local shards (q pre-scaled by 1/sqrt(Dh)),
+    pad_l [B, C] bool (True = masked).  Returns [B, C, H, Dh].
+    """
+    b, c, h, d = q_l.shape
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    interp = pltpu.InterpretParams() if interpret else False
+
+    fold = lambda x: x.transpose(0, 2, 1, 3).reshape(b * h, c, d)
+    qf, kf, vf = fold(q_l), fold(k_l), fold(v_l)
+    pad8 = pad_l.astype(jnp.int8)
+
+    of = pl.pallas_call(
+        functools.partial(_ring_fwd_kernel, n=n, num_h=h, chunk=c,
+                          causal=causal, axis=axis),
+        grid=(n, b * h),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * h, c, d), q_l.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((b * h, c, d), jnp.float32),    # acc
+            pltpu.VMEM((b * h, c, 1), jnp.float32),    # running max
+            pltpu.VMEM((b * h, c, 1), jnp.float32),    # running denom
+            pltpu.VMEM((2, 2, b * h, c, d), q_l.dtype),  # K/V comm slots
+            pltpu.VMEM((2, b, c), jnp.int8),           # pad comm slots
+            pltpu.SemaphoreType.DMA((2,)),             # kv send
+            pltpu.SemaphoreType.DMA((2,)),             # kv recv
+            pltpu.SemaphoreType.DMA((2,)),             # pad send
+            pltpu.SemaphoreType.DMA((2,)),             # pad recv
+            pltpu.SemaphoreType.REGULAR((2,)),         # slot-free credits
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            collective_id=0),
+        interpret=interp,
+    )(qf, kf, vf, pad8)
+    return of.reshape(b, h, c, d).transpose(0, 2, 1, 3)

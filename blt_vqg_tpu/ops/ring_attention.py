@@ -21,6 +21,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
@@ -32,7 +33,8 @@ def ring_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                    causal: bool = False,
                    kv_pad: Optional[jnp.ndarray] = None,
                    batch_axis: Optional[str] = None,
-                   head_axis: Optional[str] = None) -> jnp.ndarray:
+                   head_axis: Optional[str] = None,
+                   impl: str = "xla") -> jnp.ndarray:
     """Sequence-parallel attention.
 
     q/k/v [B, T, H, D] with T sharded over ``axis`` (q pre-scaled by
@@ -52,6 +54,11 @@ def ring_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     if kv_pad is None:
         kv_pad = jnp.zeros((q.shape[0], t), bool)
     kv_pad = jnp.broadcast_to(kv_pad, (q.shape[0], t))
+
+    if impl == "pallas":
+        return _make_pallas_ring(mesh, axis, causal, batch_axis, head_axis)(
+            q, k, v, kv_pad)
+    assert impl == "xla", impl
 
     spec = P(batch_axis, axis, head_axis, None)
     pad_spec = P(batch_axis, axis)
@@ -117,3 +124,46 @@ def ring_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         return (acc / safe).astype(q_l.dtype)
 
     return _ring(q, k, v, kv_pad)
+
+
+@functools.lru_cache(maxsize=32)
+def _make_pallas_ring(mesh: Mesh, axis: str, causal: bool,
+                      batch_axis: Optional[str], head_axis: Optional[str]):
+    """RDMA-inner-loop ring attention (ops/pallas/ring_attention.py).
+
+    Forward: one Pallas kernel per device — K/V rotate chip-to-chip via
+    ``make_async_remote_copy`` with the hop in flight during block compute,
+    instead of the ppermute-per-hop of the XLA path above.  Backward:
+    custom VJP that recomputes through the XLA ring (same math, autodiff-
+    friendly), so ``impl="pallas"`` remains training-capable at the cost of
+    one extra forward.
+    """
+    from blt_vqg_tpu.ops.pallas.ring_attention import ring_attention_fwd_shard
+
+    n = mesh.shape[axis]
+    spec = P(batch_axis, axis, head_axis, None)
+    pad_spec = P(batch_axis, axis)
+    fwd_sharded = shard_map(
+        functools.partial(ring_attention_fwd_shard, axis=axis, n=n,
+                          causal=causal),
+        mesh=mesh, in_specs=(spec, spec, spec, pad_spec), out_specs=spec,
+        check_vma=False)
+
+    @jax.custom_vjp
+    def f(q, k, v, pad):
+        return fwd_sharded(q, k, v, pad)
+
+    def fwd(q, k, v, pad):
+        return fwd_sharded(q, k, v, pad), (q, k, v, pad)
+
+    def bwd(res, g):
+        q, k, v, pad = res
+        _, vjp = jax.vjp(
+            lambda q_, k_, v_: ring_attention(
+                q_, k_, v_, mesh, axis, causal, pad, batch_axis, head_axis,
+                impl="xla"), q, k, v)
+        dq, dk, dv = vjp(g)
+        return dq, dk, dv, np.zeros(pad.shape, jax.dtypes.float0)
+
+    f.defvjp(fwd, bwd)
+    return f

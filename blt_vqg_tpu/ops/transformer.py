@@ -61,13 +61,15 @@ class EncoderLayer(nn.Module):
     activation: str = "relu"
     compat_trailing_relu: bool = False
     ring_mesh: object = None  # sequence-parallel mesh (ops/attention.py)
+    ring_impl: str = "xla"    # ring inner loop: "xla" ppermute | "pallas" RDMA
 
     def setup(self):
         self.ln_mha = nn.LayerNorm(dtype=self.dtype, name="ln_mha")
         self.mha = MultiHeadAttention(
             self.hidden_dim, self.num_heads, self.attention_dropout,
             dtype=self.dtype, use_pallas=self.use_pallas,
-            ring_mesh=self.ring_mesh, name="mha")
+            ring_mesh=self.ring_mesh, ring_impl=self.ring_impl,
+            name="mha")
         self.ln_ffn = nn.LayerNorm(dtype=self.dtype, name="ln_ffn")
         self.ffn = PositionwiseFeedForward(
             self.hidden_dim, self.pwffn_dim, self.relu_dropout,
@@ -101,6 +103,7 @@ class TransformerEncoder(nn.Module):
     remat: bool = False
     compat_trailing_relu: bool = False
     ring_mesh: object = None
+    ring_impl: str = "xla"
 
     def setup(self):
         layer_cls = nn.remat(EncoderLayer) if self.remat else EncoderLayer
@@ -109,7 +112,7 @@ class TransformerEncoder(nn.Module):
                       self.attention_dropout, self.relu_dropout,
                       self.layer_dropout, self.dtype, self.use_pallas,
                       compat_trailing_relu=self.compat_trailing_relu,
-                      ring_mesh=self.ring_mesh,
+                      ring_mesh=self.ring_mesh, ring_impl=self.ring_impl,
                       name=f"layer_{i}")
             for i in range(self.num_layers)
         ]
@@ -136,6 +139,7 @@ class DecoderLayer(nn.Module):
     use_pallas: bool = False
     compat_trailing_relu: bool = False
     ring_mesh: object = None  # sequence-parallel self-attention only
+    ring_impl: str = "xla"
     use_pallas_decode: bool = False  # fused 2-kernel decode step
 
     def setup(self):
@@ -143,7 +147,8 @@ class DecoderLayer(nn.Module):
         self.self_attn = MultiHeadAttention(
             self.hidden_dim, self.num_heads, self.attention_dropout,
             dtype=self.dtype, use_pallas=self.use_pallas, causal=True,
-            ring_mesh=self.ring_mesh, name="self_attn")
+            ring_mesh=self.ring_mesh, ring_impl=self.ring_impl,
+            name="self_attn")
         self.ln_cross = nn.LayerNorm(dtype=self.dtype, name="ln_cross")
         self.cross_attn = MultiHeadAttention(
             self.hidden_dim, self.num_heads, self.attention_dropout,
@@ -250,6 +255,7 @@ class TransformerDecoder(nn.Module):
     max_decode_len: int = 64
     compat_trailing_relu: bool = False
     ring_mesh: object = None
+    ring_impl: str = "xla"
     use_pallas_decode: bool = False
 
     def setup(self):
@@ -259,7 +265,7 @@ class TransformerDecoder(nn.Module):
                       self.attention_dropout, self.relu_dropout,
                       self.layer_dropout, self.dtype, self.use_pallas,
                       compat_trailing_relu=self.compat_trailing_relu,
-                      ring_mesh=self.ring_mesh,
+                      ring_mesh=self.ring_mesh, ring_impl=self.ring_impl,
                       use_pallas_decode=self.use_pallas_decode,
                       name=f"layer_{i}")
             for i in range(self.num_layers)

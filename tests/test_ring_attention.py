@@ -97,6 +97,82 @@ class TestRingAttention:
                                    atol=2e-3)
 
 
+class TestPallasRingRDMA:
+    """impl="pallas": the RDMA inner-loop kernel
+    (ops/pallas/ring_attention.py) — K/V hops via make_async_remote_copy
+    with credit flow control, run here under the TPU interpreter, which
+    simulates the remote DMAs/semaphores on the 8-virtual-device mesh and
+    validates they drain to zero."""
+
+    def test_matches_full_attention(self, seq_mesh):
+        q, k, v = rand_qkv(2, 32, 2, 8, seed=5)
+        out = ring_attention(q, k, v, seq_mesh, axis="seq", impl="pallas")
+        ref = full_attention(q, k, v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-3)
+
+    def test_causal_plus_pad_matches_full(self, seq_mesh):
+        q, k, v = rand_qkv(1, 32, 2, 8, seed=6)
+        pad = jnp.zeros((1, 32), bool).at[:, 20:].set(True)
+        out = ring_attention(q, k, v, seq_mesh, axis="seq", causal=True,
+                             kv_pad=pad, impl="pallas")
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                            preferred_element_type=jnp.float32)
+        cm = jnp.triu(jnp.ones((32, 32), bool), 1)[None, None]
+        logits = jnp.where(cm | pad[:, None, None, :], -1e30, logits)
+        w = jax.nn.softmax(logits, axis=-1)
+        ref = jnp.einsum("bhqk,bkhd->bqhd", w.astype(v.dtype), v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-3)
+
+    def test_grad_matches_xla_ring(self, seq_mesh):
+        """The custom VJP recomputes through the XLA ring — gradients must
+        agree exactly (same math, same precision config)."""
+        q, k, v = rand_qkv(1, 16, 2, 8, seed=7)
+        pad = jnp.zeros((1, 16), bool).at[:, 12:].set(True)
+
+        def loss(impl):
+            def f(q, k, v):
+                o = ring_attention(q, k, v, seq_mesh, axis="seq",
+                                   causal=True, kv_pad=pad, impl=impl)
+                return jnp.sum(o ** 2)
+            return jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+
+        gp, gx = loss("pallas"), loss("xla")
+        for a, b in zip(gp, gx):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5)
+
+    def test_composes_with_data_axis(self, request):
+        """On a data=2 x seq=4 mesh the RDMA hops ride only the seq axis;
+        batch rows stay independent (dict-MESH device addressing)."""
+        request.getfixturevalue("eight_devices")
+        mesh = build_mesh((2, 4), ("data", "seq"))
+        q, k, v = rand_qkv(2, 16, 2, 8, seed=8)
+        out = ring_attention(q, k, v, mesh, axis="seq", batch_axis="data",
+                             impl="pallas")
+        ref = full_attention(q, k, v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-3)
+
+    def test_encoder_integration(self, seq_mesh):
+        """ring_impl="pallas" threads cfg -> stacks -> MHA: encoder output
+        matches the plain (full-attention) model on the same params."""
+        from blt_vqg_tpu.ops.transformer import TransformerEncoder
+        kw = dict(hidden_dim=32, num_layers=2, num_heads=4, pwffn_dim=64,
+                  attention_dropout=0.0, relu_dropout=0.0,
+                  dtype=jnp.float32)
+        plain = TransformerEncoder(**kw)
+        ringd = TransformerEncoder(**kw, ring_mesh=seq_mesh,
+                                   ring_impl="pallas")
+        x = jax.random.normal(jax.random.key(9), (2, 16, 32), jnp.float32)
+        mask = jnp.zeros((2, 1, 1, 16), bool).at[:, :, :, 12:].set(True)
+        params = plain.init(jax.random.key(1), x, mask)
+        a = plain.apply(params, x, mask)
+        b = ringd.apply(params, x, mask)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
 class TestSequenceParallelIntegration:
     """sequence_parallel config routes encoder/decoder self-attention
     through ring attention; outputs must match the plain model bit-for-bit
