@@ -205,14 +205,38 @@ def bench_jax() -> dict:
         return float(mm["loss"])
 
     train_sps_256 = big_b / _slope_time(run_256, 3, 13)
+    del state256, batch256
+
+    # ---- production-diet train step: the bandwidth-diet knobs that are
+    # off by default for reference parity (tie_output_z shares the
+    # [hidden, vocab] head; bf16 Adam first moments halve mu traffic) —
+    # the step is HBM-bandwidth-bound (benchmarks/METHODOLOGY.md), so
+    # byte-diet translates directly to step time
+    cfg_diet = cfg.replace(tie_output_z=True, adam_mu_dtype="bfloat16")
+    model_diet = IQ(cfg_diet, vocab_size)
+    state_diet = create_train_state(cfg_diet, model_diet, jax.random.key(0),
+                                    batch)
+    multi_diet = make_multi_step(cfg_diet, latent_mode=True)
+    stacked = {k: jax.device_put(v) for k, v in stacked_np.items()}
+
+    def run_diet(k, st=[state_diet]):
+        s = st[0]
+        for i in range(k):
+            s, mm = multi_diet(s, stacked, jax.random.key(i))
+        st[0] = s
+        return float(mm["loss"])
+
+    train_sps_diet = BATCH * G / _slope_time(run_diet, 2, 7)
+    del stacked
 
     platform = jax.devices()[0].platform
     log(f"jax[{platform}]: {train_sps:.1f} samples/s train (b64), "
+        f"{train_sps_diet:.1f} diet, "
         f"{train_sps_256:.1f} (b256), {decode_qps:.1f} q/s serving decode "
         f"({decode_qps_probe:.1f} probed, {decode_qps_512:.1f} @b512), "
         f"compile {compile_s:.1f}s")
     return {"train_sps": train_sps, "train_sps_single": train_sps_single,
-            "train_sps_256": train_sps_256,
+            "train_sps_256": train_sps_256, "train_sps_diet": train_sps_diet,
             "decode_qps": decode_qps, "decode_qps_probe": decode_qps_probe,
             "decode_qps_512": decode_qps_512,
             "platform": platform, "compile_s": compile_s,
@@ -377,6 +401,7 @@ def main():
         "step_ms": round(jx["step_ms"], 2),
         "train_samples_per_sec_single_dispatch": round(jx["train_sps_single"], 2),
         "train_samples_per_sec_batch256": round(jx["train_sps_256"], 2),
+        "train_samples_per_sec_diet": round(jx["train_sps_diet"], 2),
         "decode_questions_per_sec": round(jx["decode_qps"], 2),
         "decode_questions_per_sec_probed": round(jx["decode_qps_probe"], 2),
         "decode_questions_per_sec_batch512": round(jx["decode_qps_512"], 2),

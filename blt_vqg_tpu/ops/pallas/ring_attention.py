@@ -49,7 +49,7 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _ring_fwd_kernel(q_ref, k_ref, v_ref, pad_ref, o_ref,
+def _ring_fwd_kernel(q_ref, k_ref, v_ref, pad_ref, o_ref, lse_ref,
                      acc, m_acc, l_acc, kv_buf, pad_buf,
                      kv_send, kv_recv, pad_send, pad_recv, free_sem,
                      *, n: int, num_h: int, chunk: int, causal: bool,
@@ -164,35 +164,45 @@ def _ring_fwd_kernel(q_ref, k_ref, v_ref, pad_ref, o_ref,
     @pl.when(s == n - 1)
     def _finalize():
         l = l_acc[bh]
-        safe = jnp.where(l == 0.0, 1.0, l)  # fully-masked rows -> 0 output
+        dead = l == 0.0                     # fully-masked (padded) rows
+        safe = jnp.where(dead, 1.0, l)
         o_ref[bh] = (acc[bh] / safe).astype(o_ref.dtype)
+        # lse = m + log(l); 0 for dead rows so backward's exp(s - lse) -> 0
+        lse_ref[bh] = jnp.where(dead[:, 0], 0.0,
+                                m_acc[bh][:, 0] + jnp.log(safe[:, 0]))
+
+
+def _interp(interpret):
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    return pltpu.InterpretParams() if interpret else False
 
 
 def ring_attention_fwd_shard(q_l: jnp.ndarray, k_l: jnp.ndarray,
                              v_l: jnp.ndarray, pad_l: jnp.ndarray,
                              *, axis: str, n: int, causal: bool,
-                             interpret=None) -> jnp.ndarray:
+                             return_lse: bool = False, interpret=None):
     """Per-device body (call INSIDE shard_map over the ``axis`` ring).
 
     q_l/k_l/v_l [B, C, H, Dh] local shards (q pre-scaled by 1/sqrt(Dh)),
-    pad_l [B, C] bool (True = masked).  Returns [B, C, H, Dh].
+    pad_l [B, C] bool (True = masked).  Returns [B, C, H, Dh] (and, with
+    ``return_lse``, the per-row log-sum-exp [B, C, H] — the backward-pass
+    residual, mirroring ops/pallas/flash_attention.py).
     """
     b, c, h, d = q_l.shape
-    if interpret is None:
-        interpret = jax.devices()[0].platform != "tpu"
-    interp = pltpu.InterpretParams() if interpret else False
-
     fold = lambda x: x.transpose(0, 2, 1, 3).reshape(b * h, c, d)
     qf, kf, vf = fold(q_l), fold(k_l), fold(v_l)
     pad8 = pad_l.astype(jnp.int8)
 
-    of = pl.pallas_call(
+    of, lse = pl.pallas_call(
         functools.partial(_ring_fwd_kernel, n=n, num_h=h, chunk=c,
                           causal=causal, axis=axis),
         grid=(n, b * h),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b * h, c, d), q_l.dtype),
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((b * h, c, d), q_l.dtype),
+                   jax.ShapeDtypeStruct((b * h, c), jnp.float32)),
         scratch_shapes=[
             pltpu.VMEM((b * h, c, d), jnp.float32),    # acc
             pltpu.VMEM((b * h, c, 1), jnp.float32),    # running max
@@ -208,6 +218,195 @@ def ring_attention_fwd_shard(q_l: jnp.ndarray, k_l: jnp.ndarray,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             collective_id=0),
-        interpret=interp,
+        interpret=_interp(interpret),
     )(qf, kf, vf, pad8)
-    return of.reshape(b, h, c, d).transpose(0, 2, 1, 3)
+    o = of.reshape(b, h, c, d).transpose(0, 2, 1, 3)
+    if return_lse:
+        return o, lse.reshape(b, h, c).transpose(0, 2, 1)
+    return o
+
+
+# ======================================================================
+# backward: the FlashAttention-2 recurrence on the same ring
+#
+# Q, dO, lse, delta stay resident; K/V rotate as in forward, and each
+# block's dK/dV partial sums travel WITH it (one extra f32 buffer in the
+# rotation), accumulating a contribution on every device they visit.
+# After n hops around the ring each block's gradients land back home
+# complete — no recompute, no all-reduce.  dQ accumulates locally.
+
+def _ring_bwd_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                     pad_ref, dq_ref, dk_ref, dv_ref,
+                     dq_acc, kv_buf, grad_buf, pad_buf,
+                     kv_send, kv_recv, pad_send, pad_recv,
+                     g_send, g_recv, free_sem,
+                     *, n: int, num_h: int, chunk: int, causal: bool,
+                     axis: str):
+    """Grid (n + 1, B*H): n compute steps + one grad-landing step.
+
+    Refs: q/k/v/do [B*H, C, Dh]; lse/delta [B*H, C] f32; pad [B, C] int8.
+    Comm: kv_buf [slot, k|v, B*H, C, Dh]; grad_buf [slot, dk|dv, B*H, C,
+    Dh] f32; pad_buf [slot, B, C].  The grad hop s→s+1 sits between our
+    step-s contribution and the next device's step-s+1 one (it cannot
+    overlap the current step's compute the way the K/V hop does — its
+    payload is only complete at step end).
+    """
+    s = pl.program_id(0)
+    bh = pl.program_id(1)
+    nbh = pl.num_programs(1)
+    my = jax.lax.axis_index(axis)
+    right = jax.lax.rem(my + 1, n)
+    left = jax.lax.rem(my - 1 + n, n)
+    send_slot = jax.lax.rem(s, 2)
+    recv_slot = jax.lax.rem(s + 1, 2)
+    prev_slot = jax.lax.rem(s - 1 + 2, 2)
+
+    def rdma(buf, ssem, rsem, src_slot, dst_slot):
+        return pltpu.make_async_remote_copy(
+            src_ref=buf.at[src_slot], dst_ref=buf.at[dst_slot],
+            send_sem=ssem.at[src_slot], recv_sem=rsem.at[dst_slot],
+            device_id={axis: right},
+            device_id_type=pltpu.DeviceIdType.MESH)
+
+    @pl.when((s == 0) & (bh == 0))
+    def _seed():
+        kv_buf[0, 0] = k_ref[:]
+        kv_buf[0, 1] = v_ref[:]
+        pad_buf[0] = pad_ref[:]
+        grad_buf[0] = jnp.zeros(grad_buf.shape[1:], jnp.float32)
+
+    @pl.when((bh == 0) & (s >= 1))
+    def _step_head():
+        # last step's grad hop: our outgoing slot drained + incoming landed
+        rdma(grad_buf, g_send, g_recv, prev_slot, send_slot).wait()
+
+        @pl.when(s <= n - 1)
+        def _flow():
+            # the drained slot is now free for the left neighbor's writes
+            pltpu.semaphore_signal(
+                free_sem.at[prev_slot], inc=1, device_id={axis: left},
+                device_id_type=pltpu.DeviceIdType.MESH)
+            # ...and the right's landing slot must be free before ours
+            pltpu.semaphore_wait(free_sem.at[recv_slot], 1)
+
+    @pl.when((bh == 0) & (s < n - 1))
+    def _kv_start():
+        rdma(kv_buf, kv_send, kv_recv, send_slot, recv_slot).start()
+        rdma(pad_buf, pad_send, pad_recv, send_slot, recv_slot).start()
+
+    # ---- contribution of this device to the visiting block ----
+    src_dev = jax.lax.rem(my - s + n, n)
+    k_off = src_dev * chunk
+    q_off = my * chunk
+
+    def _contrib():
+        q = q_ref[bh]                          # [C, Dh]
+        k = kv_buf[send_slot, 0, bh]
+        v = kv_buf[send_slot, 1, bh]
+        do = do_ref[bh].astype(jnp.float32)
+        lse = lse_ref[bh][:, None]             # [C, 1]
+        delta = delta_ref[bh][:, None]
+        b = jax.lax.div(bh, num_h)
+        pad = pad_buf[send_slot, b]
+
+        sc = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        sc = jnp.where(pad[None, :] != 0, NEG_INF, sc)
+        if causal:
+            rows = q_off + jax.lax.broadcasted_iota(
+                jnp.int32, (chunk, chunk), 0)
+            cols = k_off + jax.lax.broadcasted_iota(
+                jnp.int32, (chunk, chunk), 1)
+            sc = jnp.where(cols > rows, NEG_INF, sc)
+        p = jnp.exp(sc - lse)                  # [C, C]
+        # dv += P^T dO
+        grad_buf[send_slot, 1, bh] += jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do, v.astype(jnp.float32),
+                                 (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        # dk += dS^T q
+        grad_buf[send_slot, 0, bh] += jax.lax.dot_general(
+            ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        # dq += dS k (local)
+        dq_acc[bh] += jax.lax.dot_general(
+            ds, k.astype(jnp.float32), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    @pl.when(s == 0)
+    def _init_dq():
+        dq_acc[bh] = jnp.zeros((dq_acc.shape[1], dq_acc.shape[2]),
+                               jnp.float32)
+
+    if causal:
+        pl.when((s <= n - 1) & (k_off <= q_off + chunk - 1))(_contrib)
+    else:
+        pl.when(s <= n - 1)(_contrib)
+
+    @pl.when((bh == nbh - 1) & (s <= n - 1))
+    def _step_tail():
+        @pl.when(s < n - 1)
+        def _kv_finish():
+            rdma(kv_buf, kv_send, kv_recv, send_slot, recv_slot).wait()
+            rdma(pad_buf, pad_send, pad_recv, send_slot, recv_slot).wait()
+        # ship the visiting block's accumulated dK/dV onward (home after
+        # n hops); payload complete only now, hence start at step end
+        rdma(grad_buf, g_send, g_recv, send_slot, recv_slot).start()
+
+    @pl.when(s == n)
+    def _land():
+        home = n % 2  # slot the n-th hop landed our own block's grads in
+        dq_ref[bh] = dq_acc[bh].astype(dq_ref.dtype)
+        dk_ref[bh] = grad_buf[home, 0, bh].astype(dk_ref.dtype)
+        dv_ref[bh] = grad_buf[home, 1, bh].astype(dv_ref.dtype)
+
+
+def ring_attention_bwd_shard(q_l, k_l, v_l, pad_l, o_l, lse_l, do_l,
+                             *, axis: str, n: int, causal: bool,
+                             interpret=None):
+    """Per-device backward (call INSIDE shard_map; see _ring_bwd_kernel).
+
+    Inputs [B, C, H, Dh] local shards (+ lse_l [B, C, H] from the forward,
+    pad_l [B, C]); returns (dq, dk, dv) with the inputs' shapes/dtypes.
+    """
+    b, c, h, d = q_l.shape
+    fold = lambda x: x.transpose(0, 2, 1, 3).reshape(b * h, c, d)
+    qf, kf, vf, dof = fold(q_l), fold(k_l), fold(v_l), fold(do_l)
+    of = fold(o_l)
+    lsef = lse_l.transpose(0, 2, 1).reshape(b * h, c)
+    delta = jnp.sum(dof.astype(jnp.float32) * of.astype(jnp.float32),
+                    axis=-1)                   # [BH, C]
+    pad8 = pad_l.astype(jnp.int8)
+
+    dqf, dkf, dvf = pl.pallas_call(
+        functools.partial(_ring_bwd_kernel, n=n, num_h=h, chunk=c,
+                          causal=causal, axis=axis),
+        grid=(n + 1, b * h),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
+        out_specs=tuple([pl.BlockSpec(memory_space=pltpu.VMEM)] * 3),
+        out_shape=(jax.ShapeDtypeStruct((b * h, c, d), q_l.dtype),
+                   jax.ShapeDtypeStruct((b * h, c, d), k_l.dtype),
+                   jax.ShapeDtypeStruct((b * h, c, d), v_l.dtype)),
+        scratch_shapes=[
+            pltpu.VMEM((b * h, c, d), jnp.float32),      # dq accumulator
+            pltpu.VMEM((2, 2, b * h, c, d), k_l.dtype),  # K/V comm slots
+            pltpu.VMEM((2, 2, b * h, c, d), jnp.float32),  # dK/dV riders
+            pltpu.VMEM((2, b, c), jnp.int8),             # pad comm slots
+            pltpu.SemaphoreType.DMA((2,)),               # kv send
+            pltpu.SemaphoreType.DMA((2,)),               # kv recv
+            pltpu.SemaphoreType.DMA((2,)),               # pad send
+            pltpu.SemaphoreType.DMA((2,)),               # pad recv
+            pltpu.SemaphoreType.DMA((2,)),               # grad send
+            pltpu.SemaphoreType.DMA((2,)),               # grad recv
+            pltpu.SemaphoreType.REGULAR((2,)),           # slot-free credits
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            collective_id=0),
+        interpret=_interp(interpret),
+    )(qf, kf, vf, dof, lsef, delta, pad8)
+    unfold = lambda x: x.reshape(b, h, c, d).transpose(0, 2, 1, 3)
+    return unfold(dqf), unfold(dkf), unfold(dvf)

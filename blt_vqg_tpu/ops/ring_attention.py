@@ -133,36 +133,42 @@ def _make_pallas_ring(mesh: Mesh, axis: str, causal: bool,
 
     Forward: one Pallas kernel per device — K/V rotate chip-to-chip via
     ``make_async_remote_copy`` with the hop in flight during block compute,
-    instead of the ppermute-per-hop of the XLA path above.  Backward:
-    custom VJP that recomputes through the XLA ring (same math, autodiff-
-    friendly), so ``impl="pallas"`` remains training-capable at the cost of
-    one extra forward.
+    instead of the ppermute-per-hop of the XLA path above.  Backward: a
+    second ring kernel (FlashAttention-2 recurrence from the saved
+    log-sum-exp — no recompute): K/V rotate again and each block's dK/dV
+    partials ride along, landing home complete after n hops; dQ
+    accumulates locally.
     """
-    from blt_vqg_tpu.ops.pallas.ring_attention import ring_attention_fwd_shard
+    from blt_vqg_tpu.ops.pallas.ring_attention import (
+        ring_attention_bwd_shard, ring_attention_fwd_shard)
 
     n = mesh.shape[axis]
     spec = P(batch_axis, axis, head_axis, None)
     pad_spec = P(batch_axis, axis)
+    lse_spec = P(batch_axis, axis, head_axis)
     fwd_sharded = shard_map(
         functools.partial(ring_attention_fwd_shard, axis=axis, n=n,
+                          causal=causal, return_lse=True),
+        mesh=mesh, in_specs=(spec, spec, spec, pad_spec),
+        out_specs=(spec, lse_spec), check_vma=False)
+    bwd_sharded = shard_map(
+        functools.partial(ring_attention_bwd_shard, axis=axis, n=n,
                           causal=causal),
-        mesh=mesh, in_specs=(spec, spec, spec, pad_spec), out_specs=spec,
-        check_vma=False)
+        mesh=mesh,
+        in_specs=(spec, spec, spec, pad_spec, spec, lse_spec, spec),
+        out_specs=(spec, spec, spec), check_vma=False)
 
     @jax.custom_vjp
     def f(q, k, v, pad):
-        return fwd_sharded(q, k, v, pad)
+        return fwd_sharded(q, k, v, pad)[0]
 
     def fwd(q, k, v, pad):
-        return fwd_sharded(q, k, v, pad), (q, k, v, pad)
+        o, lse = fwd_sharded(q, k, v, pad)
+        return o, (q, k, v, pad, o, lse)
 
     def bwd(res, g):
-        q, k, v, pad = res
-        _, vjp = jax.vjp(
-            lambda q_, k_, v_: ring_attention(
-                q_, k_, v_, mesh, axis, causal, pad, batch_axis, head_axis,
-                impl="xla"), q, k, v)
-        dq, dk, dv = vjp(g)
+        q, k, v, pad, o, lse = res
+        dq, dk, dv = bwd_sharded(q, k, v, pad, o, lse, g)
         return dq, dk, dv, np.zeros(pad.shape, jax.dtypes.float0)
 
     f.defvjp(fwd, bwd)

@@ -125,23 +125,26 @@ class TestPallasRingRDMA:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=2e-3)
 
-    def test_grad_matches_xla_ring(self, seq_mesh):
-        """The custom VJP recomputes through the XLA ring — gradients must
-        agree exactly (same math, same precision config)."""
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_grad_matches_xla_ring(self, seq_mesh, causal):
+        """The custom VJP runs a SECOND ring kernel (FlashAttention-2
+        recurrence from the saved lse; dK/dV partials ride the rotation and
+        land home after n hops) — gradients must match the XLA ring's
+        autodiff up to f32 accumulation-order roundoff."""
         q, k, v = rand_qkv(1, 16, 2, 8, seed=7)
         pad = jnp.zeros((1, 16), bool).at[:, 12:].set(True)
 
         def loss(impl):
             def f(q, k, v):
                 o = ring_attention(q, k, v, seq_mesh, axis="seq",
-                                   causal=True, kv_pad=pad, impl=impl)
+                                   causal=causal, kv_pad=pad, impl=impl)
                 return jnp.sum(o ** 2)
             return jax.grad(f, argnums=(0, 1, 2))(q, k, v)
 
         gp, gx = loss("pallas"), loss("xla")
         for a, b in zip(gp, gx):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                       atol=1e-5)
+                                       atol=5e-5)
 
     def test_composes_with_data_axis(self, request):
         """On a data=2 x seq=4 mesh the RDMA hops ride only the seq axis;
