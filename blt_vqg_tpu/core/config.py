@@ -100,6 +100,16 @@ class Config:
     rnn_cell: str = "lstm"            # rnn family: "lstm" | "gru"
     compat_pad_seed: bool = True      # seed greedy decode with <pad> like the
                                       # reference (iq.py:129); False uses <start>
+    compat_decode_pad_mask: bool = False  # reference decode also MASKS pad-
+                                      # token keys (incl. the pad seed) in
+                                      # self-attention — generate_pad_mask
+                                      # over the grown prefix each step
+                                      # (decoder_transformer.py:44).  On:
+                                      # exact reference decode semantics
+                                      # (token-parity-tested); off: plain
+                                      # positional masking (every generated
+                                      # token attends the injected pos-0
+                                      # state — usually what you want)
     early_stop_patience: int = 0      # >0: stop when val loss hasn't improved
                                       # for N validations, checked only after
                                       # the pretraining phase (reference
@@ -252,6 +262,9 @@ def add_config_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
                         help="seed greedy decode with <pad> like the "
                         "reference (iq.py:129); --no-compat-pad-seed uses "
                         "<start>")
+    parser.add_argument("--compat_decode_pad_mask", action="store_true",
+                        help="mask pad-token keys in decode self-attention "
+                        "like the reference (exact decode parity)")
     # TPU-native flags
     parser.add_argument("--dtype", type=str, default=defaults.dtype)
     parser.add_argument("--num_data_shards", type=int, default=1,

@@ -357,36 +357,43 @@ class IQ(nn.Module):
         caches = self.decoder.init_cache(b, steps)
         seed_id = PAD if cfg.compat_pad_seed else START
         seed = jnp.full((b,), seed_id, dtype=jnp.int32)
+        # reference-exact decode: pad-TOKEN keys (incl. the pad seed) are
+        # masked in self-attention, tracked over the grown prefix
+        # (decoder_transformer.py:44; see ops/attention.py step)
+        key_pad0 = (jnp.zeros((b, steps), bool)
+                    if cfg.compat_decode_pad_mask else None)
 
         inject = (image_features + z_proj).astype(jnp.dtype(cfg.dtype))
 
-        def one_step(token, caches, pos):
+        def one_step(token, caches, key_pad, pos):
             x_t = self.embed_tokens(token[:, None])
             # position-0 injection of image(+z) features, matching the
             # per-step add the reference does at [:, 0] of the full prefix
             # (decoder_transformer.py:46)
             x_t = jnp.where(pos == 0, x_t + inject[:, None, :], x_t)
+            if key_pad is not None:
+                key_pad = key_pad.at[:, pos].set(token == PAD)
             y_t, caches = self.decoder.step(x_t, caches, cross_kvs, pos,
-                                            src_mask)
+                                            src_mask, key_pad)
             logits_t = self.output_proj(y_t[:, 0].astype(jnp.float32))
             next_token = jnp.argmax(logits_t, axis=-1).astype(jnp.int32)
             if not with_probe:
-                return next_token, caches, None, None
+                return next_token, caches, key_pad, None, None
             probs = jax.nn.softmax(logits_t, axis=-1)
             top_probs, top_tokens = jax.lax.top_k(probs, 6)
-            return next_token, caches, top_tokens, top_probs
+            return next_token, caches, key_pad, top_tokens, top_probs
 
         if not early_stop:
             if with_probe:
                 def body(carry, pos):
-                    token, caches = carry
-                    next_token, caches, top_tokens, top_probs = one_step(
-                        token, caches, pos)
-                    return (next_token, caches), (next_token, top_tokens,
-                                                  top_probs)
+                    token, caches, key_pad = carry
+                    next_token, caches, key_pad, top_tokens, top_probs = \
+                        one_step(token, caches, key_pad, pos)
+                    return (next_token, caches, key_pad), (
+                        next_token, top_tokens, top_probs)
 
                 _, (tokens, top_tokens, top_probs) = jax.lax.scan(
-                    body, (seed, caches), jnp.arange(steps))
+                    body, (seed, caches, key_pad0), jnp.arange(steps))
                 # scan stacks along axis 0 → [L, B, ...]; move batch first
                 return {
                     "tokens": jnp.moveaxis(tokens, 0, 1),
@@ -395,11 +402,13 @@ class IQ(nn.Module):
                 }
 
             def body(carry, pos):
-                token, caches = carry
-                next_token, caches, _, _ = one_step(token, caches, pos)
-                return (next_token, caches), next_token
+                token, caches, key_pad = carry
+                next_token, caches, key_pad, _, _ = one_step(
+                    token, caches, key_pad, pos)
+                return (next_token, caches, key_pad), next_token
 
-            _, tokens = jax.lax.scan(body, (seed, caches), jnp.arange(steps))
+            _, tokens = jax.lax.scan(body, (seed, caches, key_pad0),
+                                     jnp.arange(steps))
             return {"tokens": jnp.moveaxis(tokens, 0, 1)}
 
         # -- while_loop variant: exit when every row has emitted <end> --
@@ -409,13 +418,14 @@ class IQ(nn.Module):
         done = jnp.zeros((b,), bool)
 
         def cond(state):
-            pos, _, _, done, *_ = state
+            pos, _, _, _, done, *_ = state
             return jnp.logical_and(pos < steps, ~jnp.all(done))
 
         def wbody(state):
-            pos, token, caches, done, out_tokens, out_top_t, out_top_p = state
-            next_token, caches, top_tokens, top_probs = one_step(
-                token, caches, pos)
+            (pos, token, caches, key_pad, done,
+             out_tokens, out_top_t, out_top_p) = state
+            next_token, caches, key_pad, top_tokens, top_probs = one_step(
+                token, caches, key_pad, pos)
             # rows already finished emit <pad>
             next_token = jnp.where(done, PAD, next_token)
             out_tokens = jax.lax.dynamic_update_slice_in_dim(
@@ -426,12 +436,12 @@ class IQ(nn.Module):
                 out_top_p = jax.lax.dynamic_update_slice_in_dim(
                     out_top_p, top_probs[:, None, :], pos, axis=1)
             done = jnp.logical_or(done, next_token == END)
-            return (pos + 1, next_token, caches, done,
+            return (pos + 1, next_token, caches, key_pad, done,
                     out_tokens, out_top_t, out_top_p)
 
-        state = (jnp.asarray(0), seed, caches, done,
+        state = (jnp.asarray(0), seed, caches, key_pad0, done,
                  out_tokens, out_top_t, out_top_p)
-        (_, _, _, _, out_tokens, out_top_t, out_top_p) = jax.lax.while_loop(
+        (_, _, _, _, _, out_tokens, out_top_t, out_top_p) = jax.lax.while_loop(
             cond, wbody, state)
         if not with_probe:
             return {"tokens": out_tokens}

@@ -151,13 +151,19 @@ class MultiHeadAttention(nn.Module):
 
     def step(self, q_in: jnp.ndarray, cache_k: jnp.ndarray,
              cache_v: jnp.ndarray, pos: jnp.ndarray,
+             key_pad: Optional[jnp.ndarray] = None,
              ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """One self-attention decode step.
 
         q_in [B,1,D] is the current position's input; its K/V are written
         into the caches ([B,L,H,Dh]) at ``pos``; attention spans positions
         <= pos (future slots masked by position index, so cache garbage past
-        ``pos`` never contributes).
+        ``pos`` never contributes).  ``key_pad`` [B, L] bool additionally
+        masks keys whose *token* was <pad> — the reference's decode masks
+        the pad seed and any emitted pad this way (generate_pad_mask over
+        the grown prefix, reference decoder_transformer.py:44 +
+        transformer_layers.py:205-207); plain positional masking is the
+        non-compat default.
         Returns (context [B,1,D], new_cache_k, new_cache_v).
 
         Q/K/V are computed as ONE fused [D, 3D] matmul: the kernel concat is
@@ -180,7 +186,14 @@ class MultiHeadAttention(nn.Module):
                             preferred_element_type=jnp.float32)
         l = cache_k.shape[1]
         future = jnp.arange(l)[None, None, None, :] > pos
-        logits = jnp.where(future, MASK_FILL, logits)
+        # future slots get a strictly lower fill than pad-masked keys: when
+        # EVERY visible key is pad (the reference's row-0-with-pad-seed
+        # case), softmax then degenerates to uniform over the visible
+        # prefix exactly like the reference's all--1e18 row
+        # (transformer_layers.py:504-506) instead of leaking cache garbage
+        logits = jnp.where(future, 1e3 * MASK_FILL, logits)
+        if key_pad is not None:
+            logits = jnp.where(key_pad[:, None, None, :], MASK_FILL, logits)
         weights = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
         ctx = jnp.einsum("bhqk,bkhd->bqhd", weights, cache_v)
         out = self.out_proj(ctx.reshape(q_in.shape[0], 1, self.hidden_dim))

@@ -177,14 +177,21 @@ class DecoderLayer(nn.Module):
     def cross_kv(self, enc_out):
         return self.cross_attn.kv(enc_out)
 
-    def step(self, x_t, cache_k, cache_v, ck, cv, pos, src_mask):
+    def step(self, x_t, cache_k, cache_v, ck, cv, pos, src_mask,
+             key_pad=None):
         """One decode step. x_t [B,1,D]; caches [B,L,H,Dh]; (ck, cv) are the
-        precomputed cross-attention K/V for this layer."""
+        precomputed cross-attention K/V for this layer.  ``key_pad`` [B,L]
+        adds reference-style pad-token key masking (ops/attention.py step)."""
         if self.use_pallas_decode:
+            if key_pad is not None:
+                raise ValueError(
+                    "compat_decode_pad_mask is not supported on the fused "
+                    "Pallas decode path (use_pallas_decode)")
             return self._step_pallas(x_t, cache_k, cache_v, ck, cv, pos,
                                      src_mask)
         xn = self.ln_self(x_t)
-        y, cache_k, cache_v = self.self_attn.step(xn, cache_k, cache_v, pos)
+        y, cache_k, cache_v = self.self_attn.step(xn, cache_k, cache_v, pos,
+                                                  key_pad)
         x_t = x_t + y
         y = self.cross_attn.attend_cached(self.ln_cross(x_t), ck, cv, src_mask)
         x_t = x_t + y
@@ -305,9 +312,12 @@ class TransformerDecoder(nn.Module):
         z = jnp.zeros(shape, dtype=self.dtype)
         return [(z, z) for _ in range(self.num_layers)]
 
-    def step(self, x_t, caches, cross_kvs, pos, src_mask=None):
+    def step(self, x_t, caches, cross_kvs, pos, src_mask=None,
+             key_pad=None):
         """One decode step: x_t [B,1,D] at position ``pos``.
 
+        ``key_pad`` [B, L] (optional) masks pad-*token* keys in decode
+        self-attention like the reference does (see DecoderLayer.step).
         Returns (normed output [B,1,D], updated caches).
         """
         sig = jnp.asarray(
@@ -317,6 +327,6 @@ class TransformerDecoder(nn.Module):
         for layer, (cache_k, cache_v), (ck, cv) in zip(
                 self.layers, caches, cross_kvs):
             x_t, cache_k, cache_v = layer.step(
-                x_t, cache_k, cache_v, ck, cv, pos, src_mask)
+                x_t, cache_k, cache_v, ck, cv, pos, src_mask, key_pad)
             new_caches.append((cache_k, cache_v))
         return self.final_ln(x_t), new_caches

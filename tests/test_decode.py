@@ -246,3 +246,67 @@ class TestRNN:
         out = dec.apply(params, 2, 6, 1, ctx, method=RNNDecoder.greedy)
         assert out.shape == (2, 6)
         assert out.dtype == jnp.int32
+
+
+class TestCompatDecodePadMask:
+    def test_decode_greedy_matches_full_prefix_reference_semantics(
+            self, tiny_cfg, vocab_size):
+        """cfg.compat_decode_pad_mask: the production KV-cache scan decode
+        must emit the same tokens as a slow full-prefix re-decode that
+        follows the reference's inference loop exactly — re-embed the grown
+        prefix, pad-TOKEN mask it (the pad seed is a masked key, reference
+        decoder_transformer.py:44), full decoder pass, argmax of the last
+        row (reference iq.py:134-143)."""
+        from blt_vqg_tpu.ops.masks import pad_mask
+
+        cfg = tiny_cfg.replace(compat_pad_seed=True,
+                               compat_decode_pad_mask=True,
+                               attention_dropout=0.0, relu_dropout=0.0)
+        model = IQ(cfg, vocab_size)
+        b = 3
+        r = np.random.RandomState(5)
+        images = jnp.asarray(r.rand(b, cfg.image_size, cfg.image_size, 3),
+                             jnp.float32)
+        context = jnp.asarray(
+            np.concatenate([r.randint(6, vocab_size, (b, 3)),
+                            np.zeros((b, cfg.max_context_len - 3))], 1),
+            jnp.int32)
+        posterior = jnp.ones((b, cfg.max_posterior_len), jnp.int32)
+        target = jnp.ones((b, cfg.max_q_length), jnp.int32)
+        variables = model.init(
+            {"params": jax.random.key(0), "latent": jax.random.key(1),
+             "dropout": jax.random.key(2)},
+            images, context, posterior, target, latent_mode=False,
+            train=False)
+        # keep argmax off <pad>: an emitted pad is a never-attended key
+        # whose state legitimately drifts between the two formulations
+        variables = jax.tree_util.tree_map(lambda x: x, variables)
+        op = dict(variables["params"]["output_proj"])
+        op["bias"] = op["bias"].at[0].add(-100.0)
+        variables["params"] = dict(variables["params"], output_proj=op)
+
+        fast = model.apply(variables, images, context,
+                           max_decode_length=cfg.max_decode_length,
+                           latent_mode=False, method=IQ.decode_greedy)
+        fast_tokens = np.asarray(fast["tokens"])
+
+        # ---- slow oracle: the reference loop, on OUR modules ----
+        bound = model.bind(variables)
+        img_feat = bound.encoder_cnn(images, train=False)
+        enc, src_mask = bound.encode_context(context, img_feat, True)
+        inject = img_feat.astype(enc.dtype)
+        steps = cfg.max_decode_length + 1
+        ys = np.zeros((b, 1), np.int32)  # <pad> seed
+        slow_tokens = []
+        for _ in range(steps):
+            emb = bound.embed_tokens(jnp.asarray(ys))
+            emb = emb.at[:, 0].add(inject)
+            trg_mask = pad_mask(jnp.asarray(ys))
+            out = bound.decoder(emb, enc, src_mask, trg_mask, True)
+            logits = bound.output_proj(out[:, -1].astype(jnp.float32))
+            nxt = np.asarray(jnp.argmax(logits, axis=-1)).astype(np.int32)
+            slow_tokens.append(nxt.copy())
+            ys = np.concatenate([ys, nxt[:, None]], axis=1)
+
+        np.testing.assert_array_equal(fast_tokens,
+                                      np.stack(slow_tokens, axis=1))

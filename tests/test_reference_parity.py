@@ -287,3 +287,103 @@ class TestFullDecoderParity:
             jnp.asarray(trg == 0)[:, None, None, :])
         np.testing.assert_allclose(np.asarray(our_out), t2n(ref_out),
                                    atol=2e-4)
+
+
+class TestGreedyDecodeTokenParity:
+    def test_tokens_match_reference_inference_loop(self):
+        """TOKEN-level greedy-decode parity: the reference's O(T²) inference
+        loop (re-embed the grown prefix, pad-mask it, full Decoder pass,
+        argmax of the last row — reference iq.py:129-143 +
+        decoder_transformer.py:43-48) vs our KV-cache step decode with
+        ``key_pad`` tracking (the compat_decode_pad_mask semantics,
+        ops/attention.py step).  Same mapped weights, identical token ids at
+        every step — including the pad-seed quirk, where the seed is a
+        masked key."""
+        import jax
+        import jax.numpy as jnp
+        from blt_vqg_tpu.ops.transformer import TransformerDecoder
+
+        torch.manual_seed(7)
+        H, heads, layers, ffdim, b, s, V = 32, 4, 2, 64, 3, 5, 50
+        steps = 9
+        ref_dec = ref_tl.Decoder(
+            H, H, num_layers=layers, num_heads=heads, total_key_depth=H,
+            total_value_depth=H, filter_size=ffdim, attention_dropout=0.0,
+            relu_dropout=0.0, layer_dropout=0.0, input_dropout=0.0).eval()
+        ref_emb = torch.nn.Embedding(V, H)
+        ref_out_lin = torch.nn.Linear(H, V)
+        with torch.no_grad():
+            # keep argmax off <pad>: an EMITTED pad is a never-attended key
+            # whose representation legitimately drifts between the re-encode
+            # and cached formulations (degenerate even in the reference)
+            ref_out_lin.bias[0] -= 100.0
+
+        ours = TransformerDecoder(
+            hidden_dim=H, num_layers=layers, num_heads=heads, pwffn_dim=ffdim,
+            attention_dropout=0.0, relu_dropout=0.0, layer_dropout=0.0,
+            input_dropout=0.0, dtype=jnp.float32, compat_trailing_relu=True,
+            max_decode_len=steps)
+
+        rng = np.random.RandomState(7)
+        enc_np = rng.randn(b, s, H).astype(np.float32)
+        src = np.array([[1, 2, 3, 0, 0], [1, 2, 3, 4, 5], [1, 2, 0, 0, 0]])
+        inject_np = rng.randn(b, H).astype(np.float32)  # image(+z) features
+
+        mapped = {}
+        for i in range(layers):
+            rl = ref_dec.dec[i]
+            mapped[f"layer_{i}"] = {
+                "self_attn": _map_mha(rl.multi_head_attention_dec),
+                "cross_attn": _map_mha(rl.multi_head_attention_enc_dec),
+                "ln_self": _map_ln(rl.layer_norm_mha_dec),
+                "ln_cross": _map_ln(rl.layer_norm_mha_enc),
+                "ln_ffn": _map_ln(rl.layer_norm_ffn),
+                "ffn": _map_ffn(rl.positionwise_feed_forward),
+            }
+        mapped["final_ln"] = _map_ln(ref_dec.layer_norm)
+        emb_np = t2n(ref_emb.weight)              # [V, H]
+        w_out = t2n(ref_out_lin.weight).T         # [H, V]
+        b_out = t2n(ref_out_lin.bias)
+
+        PAD = 0
+
+        # ---- reference loop: full prefix re-decode each step ----
+        ref_src_mask = torch.from_numpy(src).eq(0).unsqueeze(1)
+        ys = torch.full((b, 1), PAD, dtype=torch.long)
+        ref_tokens = []
+        with torch.no_grad():
+            for _ in range(steps):
+                trg_mask = ys.eq(0).unsqueeze(1)
+                emb = ref_emb(ys)
+                emb[:, 0] = emb[:, 0] + torch.from_numpy(inject_np)
+                out, _ = ref_dec(emb, torch.from_numpy(enc_np),
+                                 (ref_src_mask, trg_mask))
+                logits = ref_out_lin(out[:, -1])
+                nxt = torch.argmax(logits, dim=1)
+                ref_tokens.append(nxt.numpy().copy())
+                ys = torch.cat([ys, nxt.unsqueeze(1)], dim=1)
+
+        # ---- ours: KV-cache step decode with key_pad tracking ----
+        variables = {"params": mapped}
+        enc = jnp.asarray(enc_np)
+        src_mask = jnp.asarray(src == 0)[:, None, None, :]
+        bound = ours.bind(variables)
+        cross_kvs = bound.precompute_cross(enc)
+        caches = bound.init_cache(b, steps)
+        key_pad = jnp.zeros((b, steps), bool)
+        token = jnp.full((b,), PAD, jnp.int32)
+        our_tokens = []
+        table = jnp.asarray(emb_np)
+        for pos in range(steps):
+            x_t = table[token][:, None, :]
+            if pos == 0:
+                x_t = x_t + jnp.asarray(inject_np)[:, None, :]
+            key_pad = key_pad.at[:, pos].set(token == PAD)
+            y_t, caches = bound.step(x_t, caches, cross_kvs,
+                                     jnp.asarray(pos), src_mask, key_pad)
+            logits = y_t[:, 0] @ jnp.asarray(w_out) + jnp.asarray(b_out)
+            token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            our_tokens.append(np.asarray(token))
+
+        np.testing.assert_array_equal(np.stack(our_tokens),
+                                      np.stack(ref_tokens))
