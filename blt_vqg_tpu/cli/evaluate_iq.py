@@ -54,7 +54,8 @@ def main(argv=None):
                          epochs=1)
 
     trainer = Trainer(cfg, vocab)
-    ckpt = CheckpointManager(os.path.join(args.model_dir, "checkpoints"))
+    ckpt = CheckpointManager(os.path.join(args.model_dir, "checkpoints"),
+                             backend=cfg.checkpoint_backend)
     # separate single-batch loader for state init — the eval loader is a
     # one-pass stream and must not lose its first batch
     first = next(make_loader(ds, cfg.batch_size, cfg.input_mode,

@@ -2,10 +2,11 @@
 
 Capability-parity with the reference's ``CheckpointEveryNSteps`` Lightning
 callback (reference train_iq.py:275-309: full checkpoint every N steps named
-``{prefix}_epoch_global_step.ckpt``) plus resume.  Storage is a flat
-numpy-npz archive per step (dependency-free, byte-stable across JAX
-versions; an Orbax backend is deliberately not used — the state is a small
-flat pytree and npz keeps restore template-driven and sharding-agnostic):
+``{prefix}_epoch_global_step.ckpt``) plus resume.  Default storage is a
+flat numpy-npz archive per step (dependency-free, byte-stable across JAX
+versions, template-driven and sharding-agnostic); ``backend="orbax"``
+swaps the per-step payload for an Orbax StandardCheckpointHandler store —
+ecosystem interop — behind the identical manager API.  The npz format:
 
 - saves params + batch_stats + opt_state + step + kliter + the Config JSON
   sidecar (the reference's args.json, old_train_iq.py:287-288);
@@ -111,10 +112,30 @@ def _unflatten_into(template: Any, flat: dict, prefix: str = ""):
 
 
 class CheckpointManager:
-    def __init__(self, directory: str, keep: int = 5):
+    """``backend="npz"`` (default): the flat-archive format documented
+    above — template-driven, dependency-light, byte-stable.
+    ``backend="orbax"``: the same directory layout and API, but each step's
+    state is an Orbax (StandardCheckpointHandler) checkpoint under
+    ``step_N/orbax`` — for interop with the wider JAX ecosystem's tooling
+    (inspection, conversion, ocdbt stores) and Orbax's async machinery.
+    Sidecars (args.json/extra.json), step discovery, retention GC, resume,
+    and ``on_disk_param_dtype`` behave identically across backends."""
+
+    def __init__(self, directory: str, keep: int = 5,
+                 backend: str = "npz"):
         self.directory = directory
         self.keep = keep
+        self.backend = backend
         self._writer = None  # in-flight async write thread
+        self._orbax = None
+        self._gc_pending = False
+        if backend == "orbax":
+            import orbax.checkpoint as ocp
+            self._ocp = ocp
+            self._orbax = ocp.AsyncCheckpointer(
+                ocp.StandardCheckpointHandler())
+        elif backend != "npz":
+            raise ValueError(f"unknown checkpoint backend {backend!r}")
         os.makedirs(directory, exist_ok=True)
 
     # -- paths ----------------------------------------------------------
@@ -128,8 +149,9 @@ class CheckpointManager:
             if not m:
                 continue
             d = os.path.join(self.directory, name)
-            if os.path.exists(os.path.join(d, "state.npz")) or any(
-                    _SHARD_RE.match(f) for f in os.listdir(d)):
+            if (os.path.exists(os.path.join(d, "state.npz"))
+                    or os.path.isdir(os.path.join(d, "orbax"))
+                    or any(_SHARD_RE.match(f) for f in os.listdir(d))):
                 steps.append(int(m.group(1)))
         return sorted(steps)
 
@@ -149,6 +171,9 @@ class CheckpointManager:
         ``on_disk_param_dtype="bfloat16"`` casts float *params* (not
         optimizer moments or batch stats) on the way to disk — half the
         bytes; restore casts back to the template dtype."""
+        if self.backend == "orbax":
+            return self._save_orbax(state, cfg, extra, block,
+                                    on_disk_param_dtype)
         self.wait()  # one async write in flight at a time
         step = int(state.step)
         path = self._step_dir(step)
@@ -190,6 +215,64 @@ class CheckpointManager:
         if self._writer is not None:
             self._writer.join()
             self._writer = None
+        if self._orbax is not None:
+            self._orbax.wait_until_finished()
+            if self._gc_pending:
+                self._gc_pending = False
+                self._gc()
+
+    # -- Orbax backend --------------------------------------------------
+    def _state_tree(self, state, params=None) -> dict:
+        return {"params": state.params if params is None else params,
+                "batch_stats": state.batch_stats,
+                "opt_state": state.opt_state,
+                "step": np.asarray(int(state.step), np.int32),
+                "kliter": np.asarray(int(state.kliter), np.int32)}
+
+    def _save_orbax(self, state, cfg, extra, block, on_disk_param_dtype):
+        import jax.numpy as jnp
+        self.wait()
+        step = int(state.step)
+        path = self._step_dir(step)
+        params = state.params
+        if on_disk_param_dtype is not None:
+            dt = jnp.dtype(on_disk_param_dtype)
+            params = jax.tree_util.tree_map(
+                lambda x: x.astype(dt)
+                if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x,
+                params)
+        os.makedirs(path, exist_ok=True)
+        if cfg is not None:
+            with open(os.path.join(path, "args.json"), "w") as f:
+                f.write(cfg.to_json())
+        if extra:
+            with open(os.path.join(path, "extra.json"), "w") as f:
+                f.write(json.dumps(extra))
+        # AsyncCheckpointer snapshots device arrays to host before
+        # returning (donation-safe); file IO continues in the background
+        self._orbax.save(
+            os.path.abspath(os.path.join(path, "orbax")),
+            args=self._ocp.args.StandardSave(self._state_tree(state, params)))
+        if block:
+            self._orbax.wait_until_finished()
+            self._gc()
+        else:
+            self._gc_pending = True
+        return path
+
+    def _restore_orbax(self, state, step):
+        import jax.numpy as jnp
+        restored = self._orbax.restore(
+            os.path.abspath(os.path.join(self._step_dir(step), "orbax")),
+            args=self._ocp.args.StandardRestore(self._state_tree(state)))
+        cast = lambda t, sub: jax.tree_util.tree_map(
+            lambda a, b: jnp.asarray(b, jnp.asarray(a).dtype), t, sub)
+        return state.replace(
+            step=jnp.asarray(int(restored["step"]), jnp.int32),
+            kliter=jnp.asarray(int(restored["kliter"]), jnp.int32),
+            params=cast(state.params, restored["params"]),
+            batch_stats=cast(state.batch_stats, restored["batch_stats"]),
+            opt_state=cast(state.opt_state, restored["opt_state"]))
 
     def restore(self, state, step: Optional[int] = None):
         """Returns a new TrainState filled from disk (template = ``state``)."""
@@ -197,6 +280,8 @@ class CheckpointManager:
         step = step if step is not None else self.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoints in {self.directory}")
+        if self.backend == "orbax":
+            return self._restore_orbax(state, step)
         with np.load(os.path.join(self._step_dir(step), "state.npz"),
                      allow_pickle=False) as z:
             flat = {k: z[k] for k in z.files}

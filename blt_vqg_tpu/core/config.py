@@ -139,6 +139,11 @@ class Config:
                                       # make_async_remote_copy hops overlap
                                       # block compute over ICI —
                                       # ops/pallas/ring_attention.py)
+    checkpoint_backend: str = "npz"   # "npz" (flat archive, default) |
+                                      # "orbax" (StandardCheckpointHandler
+                                      # store per step — JAX-ecosystem
+                                      # interop; identical manager API,
+                                      # core/checkpoint.py)
     checkpoint_param_dtype: str = "float32"  # "bfloat16": half-size params
                                       # on disk (core/checkpoint.py); restore
                                       # casts back — for slow disks/tunnels
@@ -275,6 +280,8 @@ def add_config_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     parser.add_argument("--sequence_parallel", action="store_true")
     parser.add_argument("--ring_attention_impl", type=str, default="xla",
                         choices=("xla", "pallas"))
+    parser.add_argument("--checkpoint_backend", type=str, default="npz",
+                        choices=("npz", "orbax"))
     parser.add_argument("--use_pallas_decode", action="store_true")
     parser.add_argument("--tie_output_z", action="store_true")
     parser.add_argument("--num_seq_shards", type=int, default=1,

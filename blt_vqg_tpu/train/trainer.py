@@ -98,7 +98,8 @@ class Trainer:
         self.nlge = NLGEval(no_glove=True, no_skipthoughts=True)
         self.writer = MetricWriter(cfg.output_dir)
         self.ckpt = CheckpointManager(
-            os.path.join(cfg.output_dir, "checkpoints"))
+            os.path.join(cfg.output_dir, "checkpoints"),
+            backend=cfg.checkpoint_backend)
         self.profile_dir = profile_dir
         self.augment_train = make_augment_fn(cfg.image_size, train=True)
         self.augment_eval = make_augment_fn(cfg.image_size, train=False)
