@@ -248,10 +248,16 @@ class CheckpointManager:
         if extra:
             with open(os.path.join(path, "extra.json"), "w") as f:
                 f.write(json.dumps(extra))
+        # same-step re-save overwrites, like the npz backend (the Trainer
+        # re-saves the final step at fit end); Orbax itself refuses an
+        # existing destination
+        dst = os.path.join(path, "orbax")
+        if os.path.exists(dst):
+            shutil.rmtree(dst)
         # AsyncCheckpointer snapshots device arrays to host before
         # returning (donation-safe); file IO continues in the background
         self._orbax.save(
-            os.path.abspath(os.path.join(path, "orbax")),
+            os.path.abspath(dst),
             args=self._ocp.args.StandardSave(self._state_tree(state, params)))
         if block:
             self._orbax.wait_until_finished()

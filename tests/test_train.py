@@ -481,6 +481,20 @@ class TestOrbaxBackend:
                         jax.tree_util.tree_leaves(restored.opt_state)):
             np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
+    def test_same_step_resave_overwrites(self, tmp_path, tiny_cfg,
+                                         vocab_size):
+        """Trainer.fit re-saves the final step at fit end — the orbax
+        backend must overwrite like npz does (found by a real TPU run:
+        Orbax itself refuses an existing destination)."""
+        from blt_vqg_tpu.core.checkpoint import CheckpointManager
+        cfg, model, batch, state = self._state(tiny_cfg, vocab_size)
+        mgr = CheckpointManager(str(tmp_path / "ckpt"), backend="orbax")
+        mgr.save(state, cfg)
+        mgr.save(state, cfg)  # same step again
+        assert mgr.all_steps() == [0]
+        restored = mgr.restore(state)
+        assert int(restored.step) == 0
+
     def test_async_save_retention_and_bf16(self, tmp_path, tiny_cfg,
                                            vocab_size):
         from blt_vqg_tpu.core.checkpoint import CheckpointManager
