@@ -227,6 +227,192 @@ def ring_attention_fwd_shard(q_l: jnp.ndarray, k_l: jnp.ndarray,
 
 
 # ======================================================================
+# bidirectional forward: blocks travel BOTH ways around the ring
+#
+# The unidirectional ring needs n-1 hops on one ICI direction; the other
+# direction idles.  Here each device sends its current clockwise block
+# right AND its current counter-clockwise block left every step, so both
+# ICI links carry traffic and the ring completes in ceil(n/2) hops — the
+# visiting schedule at step s is block (my - s) from the CW stream and
+# block (my + s) from the CCW stream (they coincide at s = n/2 for even
+# n, which computes once).  Same online-softmax accumulator; two
+# independent credit chains (CW slots freed to the left neighbor, CCW
+# slots to the right).
+
+def _ring_fwd_bidir_kernel(q_ref, k_ref, v_ref, pad_ref, o_ref, lse_ref,
+                           acc, m_acc, l_acc, cw_buf, ccw_buf,
+                           cw_pad, ccw_pad,
+                           cw_send, cw_recv, ccw_send, ccw_recv,
+                           cwp_send, cwp_recv, ccwp_send, ccwp_recv,
+                           cw_free, ccw_free,
+                           *, n: int, num_h: int, chunk: int, causal: bool,
+                           axis: str):
+    """Grid (ceil(n/2) + 1, B*H).  Buffers: {cw,ccw}_buf [slot, k|v,
+    B*H, C, Dh]; {cw,ccw}_pad [slot, B, C] int8."""
+    steps = n // 2 + 1 if n % 2 == 0 else (n - 1) // 2 + 1
+    s = pl.program_id(0)
+    bh = pl.program_id(1)
+    nbh = pl.num_programs(1)
+    my = jax.lax.axis_index(axis)
+    right = jax.lax.rem(my + 1, n)
+    left = jax.lax.rem(my - 1 + n, n)
+    send_slot = jax.lax.rem(s, 2)
+    recv_slot = jax.lax.rem(s + 1, 2)
+
+    def rdma(buf, ssem, rsem, dst):
+        return pltpu.make_async_remote_copy(
+            src_ref=buf.at[send_slot], dst_ref=buf.at[recv_slot],
+            send_sem=ssem.at[send_slot], recv_sem=rsem.at[recv_slot],
+            device_id={axis: dst},
+            device_id_type=pltpu.DeviceIdType.MESH)
+
+    @pl.when((s == 0) & (bh == 0))
+    def _seed():
+        cw_buf[0, 0] = k_ref[:]
+        cw_buf[0, 1] = v_ref[:]
+        ccw_buf[0, 0] = k_ref[:]
+        ccw_buf[0, 1] = v_ref[:]
+        cw_pad[0] = pad_ref[:]
+        ccw_pad[0] = pad_ref[:]
+
+    @pl.when(s == 0)
+    def _init():
+        acc[bh] = jnp.zeros((acc.shape[1], acc.shape[2]), jnp.float32)
+        m_acc[bh] = jnp.full((m_acc.shape[1], 1), NEG_INF, jnp.float32)
+        l_acc[bh] = jnp.zeros((l_acc.shape[1], 1), jnp.float32)
+
+    @pl.when((bh == 0) & (s < steps - 1))
+    def _comm_start():
+        @pl.when(s >= 1)
+        def _credits():
+            pltpu.semaphore_wait(cw_free.at[recv_slot], 1)
+            pltpu.semaphore_wait(ccw_free.at[recv_slot], 1)
+        rdma(cw_buf, cw_send, cw_recv, right).start()
+        rdma(cw_pad, cwp_send, cwp_recv, right).start()
+        rdma(ccw_buf, ccw_send, ccw_recv, left).start()
+        rdma(ccw_pad, ccwp_send, ccwp_recv, left).start()
+
+    # ---- two visiting blocks per step (one at s=0; one at the even-n
+    # antipodal step) ----
+    q_off = my * chunk
+
+    def update(kv, pad_b, k_off):
+        def _upd():
+            q = q_ref[bh]
+            k = kv[send_slot, 0, bh]
+            v = kv[send_slot, 1, bh]
+            b = jax.lax.div(bh, num_h)
+            pad = pad_b[send_slot, b]
+            sc = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            sc = jnp.where(pad[None, :] != 0, NEG_INF, sc)
+            if causal:
+                rows = q_off + jax.lax.broadcasted_iota(
+                    jnp.int32, (chunk, chunk), 0)
+                cols = k_off + jax.lax.broadcasted_iota(
+                    jnp.int32, (chunk, chunk), 1)
+                sc = jnp.where(cols > rows, NEG_INF, sc)
+            m_prev = m_acc[bh]
+            m_new = jnp.maximum(m_prev, jnp.max(sc, axis=1, keepdims=True))
+            p = jnp.exp(sc - m_new)
+            alpha = jnp.exp(m_prev - m_new)
+            l_acc[bh] = l_acc[bh] * alpha + jnp.sum(p, axis=1, keepdims=True)
+            acc[bh] = acc[bh] * alpha + jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            m_acc[bh] = m_new
+        return _upd
+
+    cw_src = jax.lax.rem(my - s + n, n)
+    ccw_src = jax.lax.rem(my + s, n)
+    cw_live = (s <= steps - 1)
+    ccw_live = (s >= 1) & (ccw_src != cw_src)  # skip own block + antipodal
+    cw_off = cw_src * chunk
+    ccw_off = ccw_src * chunk
+    if causal:
+        cw_live = cw_live & (cw_off <= q_off + chunk - 1)
+        ccw_live = ccw_live & (ccw_off <= q_off + chunk - 1)
+    pl.when(cw_live)(update(cw_buf, cw_pad, cw_off))
+    pl.when(ccw_live)(update(ccw_buf, ccw_pad, ccw_off))
+
+    @pl.when((bh == nbh - 1) & (s < steps - 1))
+    def _comm_finish():
+        rdma(cw_buf, cw_send, cw_recv, right).wait()
+        rdma(cw_pad, cwp_send, cwp_recv, right).wait()
+        rdma(ccw_buf, ccw_send, ccw_recv, left).wait()
+        rdma(ccw_pad, ccwp_send, ccwp_recv, left).wait()
+
+        @pl.when(s < steps - 2)
+        def _free():
+            pltpu.semaphore_signal(
+                cw_free.at[send_slot], inc=1, device_id={axis: left},
+                device_id_type=pltpu.DeviceIdType.MESH)
+            pltpu.semaphore_signal(
+                ccw_free.at[send_slot], inc=1, device_id={axis: right},
+                device_id_type=pltpu.DeviceIdType.MESH)
+
+    @pl.when(s == steps - 1)
+    def _finalize():
+        l = l_acc[bh]
+        dead = l == 0.0
+        safe = jnp.where(dead, 1.0, l)
+        o_ref[bh] = (acc[bh] / safe).astype(o_ref.dtype)
+        lse_ref[bh] = jnp.where(dead[:, 0], 0.0,
+                                m_acc[bh][:, 0] + jnp.log(safe[:, 0]))
+
+
+def ring_attention_fwd_bidir_shard(q_l, k_l, v_l, pad_l, *, axis: str,
+                                   n: int, causal: bool,
+                                   return_lse: bool = False,
+                                   interpret=None):
+    """Bidirectional per-device forward (shapes as
+    ring_attention_fwd_shard); ceil(n/2) hops using both ICI directions."""
+    b, c, h, d = q_l.shape
+    fold = lambda x: x.transpose(0, 2, 1, 3).reshape(b * h, c, d)
+    qf, kf, vf = fold(q_l), fold(k_l), fold(v_l)
+    pad8 = pad_l.astype(jnp.int8)
+    steps = n // 2 + 1 if n % 2 == 0 else (n - 1) // 2 + 1
+
+    of, lse = pl.pallas_call(
+        functools.partial(_ring_fwd_bidir_kernel, n=n, num_h=h, chunk=c,
+                          causal=causal, axis=axis),
+        grid=(steps, b * h),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((b * h, c, d), q_l.dtype),
+                   jax.ShapeDtypeStruct((b * h, c), jnp.float32)),
+        scratch_shapes=[
+            pltpu.VMEM((b * h, c, d), jnp.float32),      # acc
+            pltpu.VMEM((b * h, c, 1), jnp.float32),      # running max
+            pltpu.VMEM((b * h, c, 1), jnp.float32),      # running denom
+            pltpu.VMEM((2, 2, b * h, c, d), q_l.dtype),  # CW K/V slots
+            pltpu.VMEM((2, 2, b * h, c, d), q_l.dtype),  # CCW K/V slots
+            pltpu.VMEM((2, b, c), jnp.int8),             # CW pad slots
+            pltpu.VMEM((2, b, c), jnp.int8),             # CCW pad slots
+            pltpu.SemaphoreType.DMA((2,)),               # cw kv send
+            pltpu.SemaphoreType.DMA((2,)),               # cw kv recv
+            pltpu.SemaphoreType.DMA((2,)),               # ccw kv send
+            pltpu.SemaphoreType.DMA((2,)),               # ccw kv recv
+            pltpu.SemaphoreType.DMA((2,)),               # cw pad send
+            pltpu.SemaphoreType.DMA((2,)),               # cw pad recv
+            pltpu.SemaphoreType.DMA((2,)),               # ccw pad send
+            pltpu.SemaphoreType.DMA((2,)),               # ccw pad recv
+            pltpu.SemaphoreType.REGULAR((2,)),           # cw credits
+            pltpu.SemaphoreType.REGULAR((2,)),           # ccw credits
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            collective_id=0),
+        interpret=_interp(interpret),
+    )(qf, kf, vf, pad8)
+    o = of.reshape(b, h, c, d).transpose(0, 2, 1, 3)
+    if return_lse:
+        return o, lse.reshape(b, h, c).transpose(0, 2, 1)
+    return o
+
+
+# ======================================================================
 # backward: the FlashAttention-2 recurrence on the same ring
 #
 # Q, dO, lse, delta stay resident; K/V rotate as in forward, and each

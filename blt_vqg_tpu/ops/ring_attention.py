@@ -140,14 +140,14 @@ def _make_pallas_ring(mesh: Mesh, axis: str, causal: bool,
     accumulates locally.
     """
     from blt_vqg_tpu.ops.pallas.ring_attention import (
-        ring_attention_bwd_shard, ring_attention_fwd_shard)
+        ring_attention_bwd_shard, ring_attention_fwd_bidir_shard)
 
     n = mesh.shape[axis]
     spec = P(batch_axis, axis, head_axis, None)
     pad_spec = P(batch_axis, axis)
     lse_spec = P(batch_axis, axis, head_axis)
     fwd_sharded = shard_map(
-        functools.partial(ring_attention_fwd_shard, axis=axis, n=n,
+        functools.partial(ring_attention_fwd_bidir_shard, axis=axis, n=n,
                           causal=causal, return_lse=True),
         mesh=mesh, in_specs=(spec, spec, spec, pad_spec),
         out_specs=(spec, lse_spec), check_vma=False)

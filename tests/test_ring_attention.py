@@ -158,6 +158,18 @@ class TestPallasRingRDMA:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=2e-3)
 
+    def test_two_device_ring(self, request):
+        """n=2 edge of the bidirectional schedule: the CCW stream's only
+        visiting block coincides with the CW one and must compute once."""
+        request.getfixturevalue("eight_devices")
+        mesh = build_mesh((4, 2), ("data", "seq"))
+        q, k, v = rand_qkv(2, 16, 2, 8, seed=10)
+        out = ring_attention(q, k, v, mesh, axis="seq", causal=True,
+                             impl="pallas")
+        ref = full_attention(q, k, v, causal=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-3)
+
     def test_encoder_integration(self, seq_mesh):
         """ring_impl="pallas" threads cfg -> stacks -> MHA: encoder output
         matches the plain (full-attention) model on the same params."""
