@@ -104,3 +104,29 @@ class TestEndToEnd:
         assert any(k.startswith("nlg_") for k in out)
         printed = capsys.readouterr().out
         assert "Generated:" in printed and "Reference:" in printed
+
+
+@pytest.mark.e2e
+class TestProfiler:
+    def test_profile_dir_produces_trace(self, setup, tmp_path):
+        """Trainer(profile_dir=...) wraps fit in jax.profiler
+        start/stop_trace (SURVEY.md §5 tracing plan — the reference has no
+        profiler at all): trace artifacts must land in the directory."""
+        cfg, vocab, h5 = setup
+        cfg = cfg.replace(output_dir=str(tmp_path / "run"),
+                          total_training_steps=3, num_pretraining_steps=2,
+                          checkpoint_every=100, checkpoint_at_end=False)
+        ds = IQDataset(h5, vocab)
+        prof = tmp_path / "trace"
+        trainer = Trainer(cfg, vocab, profile_dir=str(prof))
+        train_iter = make_loader(ds, cfg.batch_size, "ans", seed=0)
+        first = next(train_iter)
+        state = trainer.init_state(
+            {k: first[k] for k in ("images", "context", "posterior",
+                                   "target")}, resume=False)
+        trainer.fit(state, train_iter,
+                    lambda: make_loader(ds, cfg.batch_size, "ans", epochs=1,
+                                        shuffle=False))
+        traced = [os.path.join(r, f) for r, _, fs in os.walk(prof)
+                  for f in fs]
+        assert traced, "no profiler artifacts written"
