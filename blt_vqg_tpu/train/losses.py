@@ -111,3 +111,21 @@ def compute_losses(
             + image_recon_lambda * img)
     return LossOutputs(loss=loss, rec=rec, img=img, ppl=ppl,
                        kld=kld, aux=aux, elbo=elbo)
+
+
+def two_gaussian_kl(mu1: jnp.ndarray, logvar1: jnp.ndarray,
+                    mu2: jnp.ndarray, logvar2: jnp.ndarray) -> jnp.ndarray:
+    """KL between two diagonal Gaussians, batch-mean-reduced.
+
+    The legacy manual loop's answer-space vs category-space information
+    loss (reference old_train_iq.py:262-278 ``compute_two_gaussian_loss``),
+    exact formula incl. its epsilons and the sum-then-divide-by-batch
+    reduction:
+        0.5 * sum(logvar2 - logvar1
+                  + (exp(logvar1) + (mu1-mu2)^2) / (exp(logvar2)+1e-8) - 1)
+        / (B + 1e-8)
+    """
+    num = jnp.exp(logvar1) + jnp.square(mu1 - mu2)
+    frac = num / (jnp.exp(logvar2) + 1e-8)
+    kl = 0.5 * jnp.sum(logvar2 - logvar1 + frac - 1.0)
+    return kl / (mu1.shape[0] + 1e-8)

@@ -23,3 +23,37 @@ def noam_schedule(hidden_dim: int, warmup_steps: int = 4000):
         return scale * jnp.minimum(jnp.sqrt(1.0 / (step + 1.0)), step * wu)
 
     return schedule
+
+
+class ReduceLROnPlateau:
+    """Metric-driven LR decay — the legacy manual loop's scheduler
+    (reference old_train_iq.py:360-362: torch ReduceLROnPlateau(mode='min',
+    factor=0.1, patience, min_lr=1e-7)).
+
+    Functional: ``update(metric) -> lr_scale`` returns the multiplier to
+    apply on top of the base schedule/LR; the caller owns the optimizer
+    (jit-friendly — scale is a host-side float fed as a step argument,
+    like the Noam poke).
+    """
+
+    def __init__(self, factor: float = 0.1, patience: int = 10,
+                 min_scale: float = 1e-7, min_delta: float = 0.0):
+        self.factor = factor
+        self.patience = patience
+        self.min_scale = min_scale
+        self.min_delta = min_delta
+        self.best = float("inf")
+        self.bad = 0
+        self.scale = 1.0
+
+    def update(self, metric: float) -> float:
+        m = float(metric)
+        if m < self.best - self.min_delta:
+            self.best = m
+            self.bad = 0
+        else:
+            self.bad += 1
+            if self.bad > self.patience:
+                self.scale = max(self.scale * self.factor, self.min_scale)
+                self.bad = 0
+        return self.scale

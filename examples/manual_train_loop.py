@@ -31,6 +31,7 @@ from blt_vqg_tpu.data.loader import make_loader
 from blt_vqg_tpu.data.synthetic import write_synthetic_hdf5
 from blt_vqg_tpu.models.iq import IQ
 from blt_vqg_tpu.text.vocabulary import Vocabulary
+from blt_vqg_tpu.train.schedule import ReduceLROnPlateau, noam_schedule
 from blt_vqg_tpu.train.state import create_train_state
 from blt_vqg_tpu.train.step import make_train_step
 
@@ -68,6 +69,14 @@ def main():
              True: make_train_step(cfg, latent_mode=True)}
     ckpt = CheckpointManager(os.path.join(tmp, "ckpt"))
 
+    # metric-driven LR decay, as the legacy loop's ReduceLROnPlateau
+    # (old_train_iq.py:360-362) — the scale folds into the state's lr_fn
+    # (a static field: swapping it recompiles the step, which is the
+    # correct price for a rare schedule change)
+    sched = ReduceLROnPlateau(factor=0.1, patience=2)
+    base_lr = noam_schedule(cfg.hidden_dim, cfg.warmup_steps)
+    lr_scale = 1.0
+
     for i in range(cfg.total_training_steps):
         latent = i >= cfg.num_pretraining_steps
         if i == cfg.num_pretraining_steps:
@@ -77,6 +86,12 @@ def main():
                                        "target")}
         batch["images"] = aug(batch["images"], rngs.key(i + 1))
         state, metrics = steps[latent](state, batch, rngs.key(i))
+        scale = sched.update(float(metrics["loss"]))
+        if scale != lr_scale:
+            lr_scale = scale
+            state = state.replace(
+                lr_fn=lambda s, sc=scale: base_lr(s) * sc)
+            print(f"  plateau: LR scaled by {scale:g}")
         print(f"step {i} latent={latent} loss={float(metrics['loss']):.4f} "
               f"kld={float(metrics['kld']):.4f}")
         if (i + 1) % 4 == 0:

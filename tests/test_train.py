@@ -520,3 +520,42 @@ class TestOrbaxBackend:
         np.testing.assert_allclose(np.asarray(a, np.float32),
                                    np.asarray(b, np.float32),
                                    rtol=1e-2, atol=1e-2)
+
+
+class TestLegacyLoopUtilities:
+    def test_two_gaussian_kl_formula(self):
+        """Exact formula of the legacy loop's compute_two_gaussian_loss
+        (reference old_train_iq.py:262-278), incl. its epsilons and
+        sum-then-divide-by-batch reduction."""
+        from blt_vqg_tpu.train.losses import two_gaussian_kl
+        r = np.random.RandomState(0)
+        mu1, lv1, mu2, lv2 = [r.randn(4, 6).astype(np.float32)
+                              for _ in range(4)]
+        got = float(two_gaussian_kl(*map(jnp.asarray, (mu1, lv1, mu2, lv2))))
+        num = np.exp(lv1) + (mu1 - mu2) ** 2
+        frac = num / (np.exp(lv2) + 1e-8)
+        want = 0.5 * np.sum(lv2 - lv1 + frac - 1.0) / (4 + 1e-8)
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+        # identical gaussians -> 0
+        z = float(two_gaussian_kl(jnp.asarray(mu1), jnp.asarray(lv1),
+                                  jnp.asarray(mu1), jnp.asarray(lv1)))
+        assert abs(z) < 1e-5
+
+    def test_reduce_lr_on_plateau(self):
+        """torch-ReduceLROnPlateau semantics (reference
+        old_train_iq.py:360-362): decay by `factor` after `patience`
+        non-improving updates, floor at min_scale, reset on improvement."""
+        from blt_vqg_tpu.train.schedule import ReduceLROnPlateau
+        s = ReduceLROnPlateau(factor=0.1, patience=2, min_scale=1e-3)
+        assert s.update(1.0) == 1.0          # first value = best
+        assert s.update(0.5) == 1.0          # improvement
+        assert s.update(0.6) == 1.0          # bad 1
+        assert s.update(0.6) == 1.0          # bad 2 (= patience)
+        assert s.update(0.6) == 0.1          # bad 3 > patience -> decay
+        assert s.update(0.4) == 0.1          # improvement: scale sticks
+        for _ in range(3):
+            last = s.update(0.41)
+        assert last == pytest.approx(0.01)   # second decay
+        for _ in range(20):
+            last = s.update(0.41)
+        assert last == 1e-3                  # floored (max() returns min_scale exactly)
