@@ -198,6 +198,11 @@ class IQ(nn.Module):
         one MXU-wide step), finished beams are length-normalized with the
         GNMT penalty ((5+len)/6)^alpha.  Returns the best beam's tokens
         [B, L] and its score [B].
+
+        Note: ``cfg.compat_decode_pad_mask`` (exact reference *greedy*
+        masking) is not applied here — beam search has no reference
+        counterpart to be compatible with; self-attention masking is
+        positional.
         """
         cfg = self.cfg
         k_beams = beam_size

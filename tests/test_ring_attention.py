@@ -158,6 +158,18 @@ class TestPallasRingRDMA:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=2e-3)
 
+    def test_composes_with_model_axis(self, request):
+        """TP composition: heads sharded over 'model' stay put while the
+        RDMA hops ride the seq axis — no cross-head traffic."""
+        request.getfixturevalue("eight_devices")
+        mesh = build_mesh((2, 4), ("model", "seq"))
+        q, k, v = rand_qkv(1, 16, 4, 8, seed=11)
+        out = ring_attention(q, k, v, mesh, axis="seq", head_axis="model",
+                             causal=True, impl="pallas")
+        ref = full_attention(q, k, v, causal=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-3)
+
     def test_two_device_ring(self, request):
         """n=2 edge of the bidirectional schedule: the CCW stream's only
         visiting block coincides with the CW one and must compute once."""
