@@ -140,22 +140,23 @@ def _make_pallas_ring(mesh: Mesh, axis: str, causal: bool,
     accumulates locally.
     """
     from blt_vqg_tpu.ops.pallas.ring_attention import (
-        ring_attention_bwd_shard, ring_attention_fwd_bidir_shard)
+        ring_attention_bwd_bidir_shard, ring_attention_fwd_bidir_shard)
 
     n = mesh.shape[axis]
     spec = P(batch_axis, axis, head_axis, None)
     pad_spec = P(batch_axis, axis)
-    lse_spec = P(batch_axis, axis, head_axis)
+    res_spec = P(batch_axis, axis, head_axis)  # per-row m / l residuals
     fwd_sharded = shard_map(
         functools.partial(ring_attention_fwd_bidir_shard, axis=axis, n=n,
                           causal=causal, return_lse=True),
         mesh=mesh, in_specs=(spec, spec, spec, pad_spec),
-        out_specs=(spec, lse_spec), check_vma=False)
+        out_specs=(spec, res_spec, res_spec), check_vma=False)
     bwd_sharded = shard_map(
-        functools.partial(ring_attention_bwd_shard, axis=axis, n=n,
+        functools.partial(ring_attention_bwd_bidir_shard, axis=axis, n=n,
                           causal=causal),
         mesh=mesh,
-        in_specs=(spec, spec, spec, pad_spec, spec, lse_spec, spec),
+        in_specs=(spec, spec, spec, pad_spec, spec, res_spec, res_spec,
+                  spec),
         out_specs=(spec, spec, spec), check_vma=False)
 
     @jax.custom_vjp
@@ -163,12 +164,12 @@ def _make_pallas_ring(mesh: Mesh, axis: str, causal: bool,
         return fwd_sharded(q, k, v, pad)[0]
 
     def fwd(q, k, v, pad):
-        o, lse = fwd_sharded(q, k, v, pad)
-        return o, (q, k, v, pad, o, lse)
+        o, m, l = fwd_sharded(q, k, v, pad)
+        return o, (q, k, v, pad, o, m, l)
 
     def bwd(res, g):
-        q, k, v, pad, o, lse = res
-        dq, dk, dv = bwd_sharded(q, k, v, pad, o, lse, g)
+        q, k, v, pad, o, m, l = res
+        dq, dk, dv = bwd_sharded(q, k, v, pad, o, m, l, g)
         return dq, dk, dv, np.zeros(pad.shape, jax.dtypes.float0)
 
     f.defvjp(fwd, bwd)

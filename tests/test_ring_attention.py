@@ -146,6 +146,28 @@ class TestPallasRingRDMA:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=5e-5)
 
+    def test_dead_row_gradients_match_xla(self, seq_mesh):
+        """A row whose EVERY visible key is masked (causal + pad on key 0)
+        degenerates to uniform attention (reference fill semantics); the
+        backward must still match XLA autodiff.  Regression for two real
+        bugs: lse = m + log(l) loses log(l) to f32 absorption at the -1e30
+        fill (residuals are now (m, l)), and the FA ds-formula needs
+        masked logits zeroed where p is nonzero (the dead row)."""
+        q, k, v = rand_qkv(1, 32, 2, 8, seed=12)
+        # key 0 padded => causal row 0 sees only masked keys (dead row)
+        pad = jnp.zeros((1, 32), bool).at[:, 0].set(True).at[:, 28:].set(True)
+
+        def grads(impl):
+            def f(q, k, v):
+                o = ring_attention(q, k, v, seq_mesh, axis="seq",
+                                   causal=True, kv_pad=pad, impl=impl)
+                return jnp.sum(o ** 2)
+            return jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+
+        for a, b in zip(grads("pallas"), grads("xla")):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-5)
+
     def test_composes_with_data_axis(self, request):
         """On a data=2 x seq=4 mesh the RDMA hops ride only the seq axis;
         batch rows stay independent (dict-MESH device addressing)."""
