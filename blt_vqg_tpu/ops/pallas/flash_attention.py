@@ -42,7 +42,7 @@ NEG_INF = -1e30
 # ======================================================================
 # forward
 
-def _fwd_kernel(q_ref, k_ref, v_ref, kvpad_ref, o_ref, lse_ref,
+def _fwd_kernel(q_ref, k_ref, v_ref, kvpad_ref, o_ref, mout_ref, lout_ref,
                 acc_ref, m_ref, l_ref,
                 *, causal: bool, block_q: int, block_k: int,
                 num_k_blocks: int):
@@ -88,19 +88,27 @@ def _fwd_kernel(q_ref, k_ref, v_ref, kvpad_ref, o_ref, lse_ref,
     @pl.when(ki == num_k_blocks - 1)
     def _finalize():
         l = l_ref[:]
-        dead = l == 0.0                    # fully-masked (padded) rows
-        safe = jnp.where(dead, 1.0, l)
-        o_ref[0] = (acc_ref[:] / safe).astype(o_ref.dtype)
-        # lse = m + log(l); 0 for dead rows so backward's exp(s - lse) -> 0
-        lse = jnp.where(dead, 0.0, m_ref[:] + jnp.log(safe))
-        lse_ref[0, 0] = lse[:, 0]
+        safe = jnp.where(l == 0.0, 1.0, l)
+        # a row whose every visible key is masked outputs ZERO (m never
+        # rose above the fill).  This is a deliberate contract: plain
+        # softmax degenerates to uniform-over-everything there, which a
+        # blockwise kernel cannot reproduce (its visible set depends on
+        # tile skipping) — zero is well-defined and the backward returns
+        # zero grads for such rows to match
+        dead = m_ref[:] <= 0.5 * NEG_INF
+        o_ref[0] = jnp.where(dead, 0.0,
+                             acc_ref[:] / safe).astype(o_ref.dtype)
+        # backward residuals are (m, l), NOT lse = m + log(l): f32 absorbs
+        # log(l) entirely at the -1e30 fill
+        mout_ref[0, 0] = m_ref[:, 0]
+        lout_ref[0, 0] = safe[:, 0]
 
 
 # ======================================================================
 # backward
 
-def _dkdv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, kvpad_ref,
-                 dk_ref, dv_ref, dk_acc, dv_acc,
+def _dkdv_kernel(q_ref, k_ref, v_ref, do_ref, m_ref, l_ref, delta_ref,
+                 kvpad_ref, dk_ref, dv_ref, dk_acc, dv_acc,
                  *, causal: bool, block_q: int, block_k: int,
                  num_q_blocks: int):
     ki = pl.program_id(1)
@@ -119,7 +127,8 @@ def _dkdv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, kvpad_ref,
         k = k_ref[0]                          # [BK, D]
         v = v_ref[0]                          # [BK, D]
         do = do_ref[0].astype(jnp.float32)    # [BQ, D]
-        lse = lse_ref[0, 0][:, None]          # [BQ, 1]
+        m = m_ref[0, 0][:, None]              # [BQ, 1]
+        linv = 1.0 / l_ref[0, 0][:, None]
         delta = delta_ref[0, 0][:, None]      # [BQ, 1]
 
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
@@ -131,16 +140,21 @@ def _dkdv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, kvpad_ref,
             cols = ki * block_k + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 1)
             s = jnp.where(cols > rows, NEG_INF, s)
-        p = jnp.exp(s - lse)                  # [BQ, BK]
+        # (m, l) residuals; dead rows (m at the fill) have zero output,
+        # so their p is zeroed too — zero grads, matching the forward
+        p = jnp.exp(s - m) * linv             # [BQ, BK]
+        p = jnp.where(m <= 0.5 * NEG_INF, 0.0, p)
         # dv += P^T do
         dv_acc[:] += jax.lax.dot_general(
             p, do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        # ds = P * (do v^T - delta)
+        # ds = P * (do v^T - delta), zeroed at masked logits (autodiff's
+        # `where` blocks those — matters for the all-masked row where p>0)
         dp = jax.lax.dot_general(do, v.astype(jnp.float32),
                                  (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         ds = p * (dp - delta)
+        ds = jnp.where(s <= 0.5 * NEG_INF, 0.0, ds)
         # dk += ds^T q
         dk_acc[:] += jax.lax.dot_general(
             ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
@@ -152,8 +166,8 @@ def _dkdv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, kvpad_ref,
         dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
 
 
-def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, kvpad_ref,
-               dq_ref, dq_acc,
+def _dq_kernel(q_ref, k_ref, v_ref, do_ref, m_ref, l_ref, delta_ref,
+               kvpad_ref, dq_ref, dq_acc,
                *, causal: bool, block_q: int, block_k: int,
                num_k_blocks: int):
     qi = pl.program_id(1)
@@ -171,7 +185,8 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, kvpad_ref,
         k = k_ref[0]
         v = v_ref[0]
         do = do_ref[0].astype(jnp.float32)
-        lse = lse_ref[0, 0][:, None]
+        m = m_ref[0, 0][:, None]
+        linv = 1.0 / l_ref[0, 0][:, None]
         delta = delta_ref[0, 0][:, None]
 
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
@@ -183,11 +198,13 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, kvpad_ref,
             cols = ki * block_k + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 1)
             s = jnp.where(cols > rows, NEG_INF, s)
-        p = jnp.exp(s - lse)
+        p = jnp.exp(s - m) * linv
+        p = jnp.where(m <= 0.5 * NEG_INF, 0.0, p)
         dp = jax.lax.dot_general(do, v.astype(jnp.float32),
                                  (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         ds = p * (dp - delta)
+        ds = jnp.where(s <= 0.5 * NEG_INF, 0.0, ds)
         dq_acc[:] += jax.lax.dot_general(
             ds, k.astype(jnp.float32), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -215,7 +232,7 @@ def _forward(qf, kf, vf, pad8, h, causal, block_q, block_k, interpret):
     tkp = kf.shape[1]
     num_q = tqp // block_q
     num_k = tkp // block_k
-    out, lse = pl.pallas_call(
+    out, m_res, l_res = pl.pallas_call(
         functools.partial(_fwd_kernel, causal=causal, block_q=block_q,
                           block_k=block_k, num_k_blocks=num_k),
         grid=(bh, num_q, num_k),
@@ -230,9 +247,12 @@ def _forward(qf, kf, vf, pad8, h, causal, block_q, block_k, interpret):
             _qspec(block_q, d),
             pl.BlockSpec((1, 1, block_q), lambda bh, i, j: (bh, 0, i),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q), lambda bh, i, j: (bh, 0, i),
+                         memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((bh, tqp, d), qf.dtype),
+            jax.ShapeDtypeStruct((bh, 1, tqp), jnp.float32),
             jax.ShapeDtypeStruct((bh, 1, tqp), jnp.float32),
         ),
         scratch_shapes=[
@@ -244,11 +264,11 @@ def _forward(qf, kf, vf, pad8, h, causal, block_q, block_k, interpret):
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=interpret,
     )(qf, kf, vf, pad8)
-    return out, lse
+    return out, m_res, l_res
 
 
-def _backward(qf, kf, vf, pad8, o, lse, do, h, causal, block_q, block_k,
-              interpret):
+def _backward(qf, kf, vf, pad8, o, m_res, l_res, do, h, causal, block_q,
+              block_k, interpret):
     bh, tqp, d = qf.shape
     tkp = kf.shape[1]
     num_q = tqp // block_q
@@ -262,7 +282,9 @@ def _backward(qf, kf, vf, pad8, o, lse, do, h, causal, block_q, block_k,
         _kspec(block_k, d),                                   # v
         _qspec(block_q, d),                                   # do
         pl.BlockSpec((1, 1, block_q), lambda bh, i, j: (bh, 0, i),
-                     memory_space=pltpu.VMEM),                # lse (q-block)
+                     memory_space=pltpu.VMEM),                # m (q-block)
+        pl.BlockSpec((1, 1, block_q), lambda bh, i, j: (bh, 0, i),
+                     memory_space=pltpu.VMEM),                # l (q-block)
         pl.BlockSpec((1, 1, block_q), lambda bh, i, j: (bh, 0, i),
                      memory_space=pltpu.VMEM),                # delta
         pl.BlockSpec((1, 1, block_k), lambda bh, i, j: (bh // h, 0, j),
@@ -280,6 +302,8 @@ def _backward(qf, kf, vf, pad8, o, lse, do, h, causal, block_q, block_k,
         pl.BlockSpec((1, block_k, d), lambda bh, j, i: (bh, j, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, block_q, d), lambda bh, j, i: (bh, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, block_q), lambda bh, j, i: (bh, 0, i),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, block_q), lambda bh, j, i: (bh, 0, i),
                      memory_space=pltpu.VMEM),
@@ -310,7 +334,7 @@ def _backward(qf, kf, vf, pad8, o, lse, do, h, causal, block_q, block_k,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=interpret,
-    )(qf, kf, vf, do, lse, delta, pad8)
+    )(qf, kf, vf, do, m_res, l_res, delta, pad8)
 
     dq = pl.pallas_call(
         functools.partial(_dq_kernel, causal=causal, block_q=block_q,
@@ -323,7 +347,7 @@ def _backward(qf, kf, vf, pad8, o, lse, do, h, causal, block_q, block_k,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=interpret,
-    )(qf, kf, vf, do, lse, delta, pad8)
+    )(qf, kf, vf, do, m_res, l_res, delta, pad8)
     return dq, dk, dv
 
 
@@ -335,14 +359,14 @@ def _make_flash(h, causal, block_q, block_k, interpret):
                         interpret)[0]
 
     def fwd(qf, kf, vf, pad8):
-        o, lse = _forward(qf, kf, vf, pad8, h, causal, block_q, block_k,
-                          interpret)
-        return o, (qf, kf, vf, pad8, o, lse)
+        o, m_res, l_res = _forward(qf, kf, vf, pad8, h, causal, block_q,
+                                   block_k, interpret)
+        return o, (qf, kf, vf, pad8, o, m_res, l_res)
 
     def bwd(res, do):
-        qf, kf, vf, pad8, o, lse = res
-        dq, dk, dv = _backward(qf, kf, vf, pad8, o, lse, do, h, causal,
-                               block_q, block_k, interpret)
+        qf, kf, vf, pad8, o, m_res, l_res = res
+        dq, dk, dv = _backward(qf, kf, vf, pad8, o, m_res, l_res, do, h,
+                               causal, block_q, block_k, interpret)
         dpad = np.zeros(pad8.shape, jax.dtypes.float0)
         return dq, dk, dv, dpad
 

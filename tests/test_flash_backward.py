@@ -101,3 +101,51 @@ class TestFlashBackward:
         norm = sum(float(jnp.sum(jnp.abs(l)))
                    for l in jax.tree_util.tree_leaves(g))
         assert np.isfinite(norm) and norm > 0
+
+
+class TestDeadRowGradients:
+    def test_all_masked_row_matches_xla(self):
+        """Causal row 0 with key 0 padded sees only masked keys.  The
+        kernel's contract: such rows output ZERO with zero gradients
+        (plain softmax degenerates to uniform-over-everything there,
+        which a blockwise kernel cannot reproduce).  Regression for the
+        (m, l)-residual fix: lse = m + log(l) loses log(l) to f32
+        absorption at the fill, and ds/p need masked/dead zeroing
+        (ops/pallas/flash_attention.py; same class of fix as the ring
+        kernels)."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from blt_vqg_tpu.ops.pallas.flash_attention import flash_attention
+
+        b, t, h, d = 1, 16, 2, 8
+        r = np.random.RandomState(3)
+        q = jnp.asarray(r.randn(b, t, h, d), jnp.float32) * (d ** -0.5)
+        k = jnp.asarray(r.randn(b, t, h, d), jnp.float32)
+        v = jnp.asarray(r.randn(b, t, h, d), jnp.float32)
+        pad = jnp.zeros((b, t), bool).at[:, 0].set(True)
+
+        def xla_ref(q, k, v):
+            s = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                           preferred_element_type=jnp.float32)
+            cm = jnp.triu(jnp.ones((t, t), bool), 1)[None, None]
+            masked = cm | pad[:, None, None, :]
+            s = jnp.where(masked, -1e30, s)
+            w = jax.nn.softmax(s, axis=-1)
+            out = jnp.einsum("bhqk,bkhd->bqhd", w.astype(v.dtype), v)
+            dead = jnp.all(masked, axis=-1)          # [B, H, Tq]
+            return jnp.where(jnp.moveaxis(dead, 1, 2)[..., None], 0.0, out)
+
+        def loss_flash(q, k, v):
+            return jnp.sum(flash_attention(q, k, v, pad, causal=True,
+                                           block_q=8, block_k=8) ** 2)
+
+        def loss_xla(q, k, v):
+            return jnp.sum(xla_ref(q, k, v) ** 2)
+
+        gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+        for a, b2 in zip(gf, gx):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b2),
+                                       atol=5e-5)
