@@ -22,12 +22,15 @@ Softmax state (running max / denominator / accumulator, all f32 in VMEM)
 follows the same online recurrence as ops/pallas/flash_attention.py; the
 [T, T] score matrix never exists, globally or locally.
 
-Scope: forward kernel, grid (ring_steps, B·H) per device, whole local
-shards resident in VMEM — sized for the serving/decode regime (local chunk
-x B·H that fits VMEM, ~4 comm slots + q/k/v/o + f32 accumulators).
-Training still differentiates: ring_attention(impl="pallas") installs this
-forward under a custom VJP whose backward recomputes through the XLA ring
-path (one extra forward, O(chunk²) memory, same autodiff math).
+Scope: grid (ring_steps, B·H) per device, whole local shards resident in
+VMEM (local chunk × B·H that fits VMEM; comm slots + q/k/v/o + f32
+accumulators).  ring_attention(impl="pallas") installs the BIDIRECTIONAL
+pair: forward and backward each complete in ceil(n/2) hops using both ICI
+directions, with the backward running the FlashAttention-2 recurrence
+from saved (m, l) softmax residuals — each stream carries its own dK/dV
+riders and fires one direct return-home RDMA at the end.  No recompute,
+no gradient all-reduce.  The single-direction kernels (n-1 hops one way)
+are kept as the simpler, directly-tested reference schedule.
 
 Replaces nothing in the reference — the reference has no sequence
 parallelism at all (SURVEY.md §2.4: max seq 23 tokens); this is the
