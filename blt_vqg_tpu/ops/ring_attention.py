@@ -131,12 +131,13 @@ def _make_pallas_ring(mesh: Mesh, axis: str, causal: bool,
                       batch_axis: Optional[str], head_axis: Optional[str]):
     """RDMA-inner-loop ring attention (ops/pallas/ring_attention.py).
 
-    Forward: one Pallas kernel per device — K/V rotate chip-to-chip via
-    ``make_async_remote_copy`` with the hop in flight during block compute,
-    instead of the ppermute-per-hop of the XLA path above.  Backward: a
-    second ring kernel (FlashAttention-2 recurrence from the saved
-    log-sum-exp — no recompute): K/V rotate again and each block's dK/dV
-    partials ride along, landing home complete after n hops; dQ
+    One Pallas kernel per device, bidirectional: K/V rotate chip-to-chip
+    BOTH ways via ``make_async_remote_copy`` with hops in flight during
+    block compute — ceil(n/2) hops on both ICI directions instead of the
+    XLA path's n-1 ppermutes.  Backward is a second bidirectional ring
+    kernel (FlashAttention-2 recurrence from saved (m, l) softmax
+    residuals — no recompute): each stream's dK/dV riders accumulate
+    per-device contributions and return home by direct RDMA; dQ
     accumulates locally.
     """
     from blt_vqg_tpu.ops.pallas.ring_attention import (
