@@ -156,6 +156,14 @@ class Config:
                                       # diet).  Off by default: the
                                       # reference trains them separately
                                       # (iq.py:45-48)
+    fused_adam: bool = True           # ONE read-modify-write pass per tensor
+                                      # for clip+Adam+LR+apply (train/
+                                      # fused_adam.py) — the train step is
+                                      # HBM-bound, so collapsing the optax
+                                      # chain's many tree passes is the
+                                      # single biggest step-time lever; bit-
+                                      # parity-tested vs the chain, which
+                                      # stays available via --no-fused_adam
     adam_mu_dtype: str = "float32"    # "bfloat16" halves the first-moment
                                       # HBM traffic of the bandwidth-bound
                                       # train step (benchmarks/METHODOLOGY.md
@@ -293,6 +301,11 @@ def add_config_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     parser.add_argument("--decode_early_stop", action="store_true")
     parser.add_argument("--steps_per_dispatch", type=int,
                         default=defaults.steps_per_dispatch)
+    parser.add_argument("--fused_adam", action=argparse.BooleanOptionalAction,
+                        default=defaults.fused_adam,
+                        help="fused clip+Adam update pass (train/"
+                        "fused_adam.py); --no-fused_adam restores the "
+                        "optax chain")
     parser.add_argument("--adam_mu_dtype", type=str,
                         default=defaults.adam_mu_dtype,
                         choices=("float32", "bfloat16"))

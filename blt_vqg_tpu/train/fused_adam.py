@@ -1,0 +1,153 @@
+"""Fused global-norm-clip + Adam + LR + parameter update.
+
+The default optax chain (clip_by_global_norm -> scale_by_adam -> scale(-1)
+-> per-leaf LR multiply -> apply_updates) expresses the optimizer as ~9
+logical passes over ~1 GB trees; on the flagship config the train step is
+HBM-bandwidth-bound (benchmarks/METHODOLOGY.md: 27.1 GB/step vs an ~9 GB
+ideal), so every extra materialized tree pass costs real milliseconds.
+
+This module computes the ENTIRE update as one expression per parameter
+leaf — clip scale, both Adam moments, bias correction, the Noam LR, and
+the parameter add — so XLA fuses it into a single read-modify-write loop
+per tensor: read (param, grad, mu, nu) once, write (param, mu, nu) once.
+The only extra traffic is the one grad-tree reduction for the global norm
+(whose scalar is ALSO the free ``grad_norm`` metric — logging it no longer
+costs a separate full-tree pass, cf. core/config.py ``log_grad_norm``).
+
+Numerics are replicated operation-for-operation from the optax 0.2.x chain
+(clip trigger/select semantics, moment EMA dtype promotion for bf16 mu,
+``1 - decay**count`` bias correction, ``eps`` outside the sqrt) so the
+fused path is bit-parity-tested against the chain (tests/test_fused_adam.py).
+
+Reference semantics matched: Adam + global grad-clip 5.0 + per-step LR poke
+(reference train_iq.py:259-261, 372, 252-257); the frozen ResNet backbone
+carries no moments at all (reference encoder_cnn.py:18-19).
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+class FusedAdamState(NamedTuple):
+    """Adam moments + step count.  Frozen leaves hold ``optax.MaskedNode``
+    (an empty pytree — no HBM, nothing serialized)."""
+
+    count: jnp.ndarray  # int32 scalar
+    mu: Any
+    nu: Any
+
+
+def _global_sq_norm(grads_and_masks) -> jnp.ndarray:
+    """sum of squares over trainable leaves, optax.global_norm summation
+    order (python ``sum`` over tree_leaves order)."""
+    total = sum(jnp.sum(jnp.square(g)) for g, frozen in grads_and_masks
+                if not frozen)
+    return total
+
+
+class FusedClipAdam:
+    """Drop-in ``tx`` for TrainState (``cfg.fused_adam=True``, the default).
+
+    Carries the same knobs as the optax chain it replaces
+    (train/state.py make_optimizer): ``grad_clip``, ``adam_mu_dtype``, and
+    the frozen-path mask.  ``init`` mirrors ``tx.init``; the update is the
+    single fused pass ``update_params``.
+    """
+
+    def __init__(self, grad_clip: float, frozen_fn, mu_dtype=jnp.float32,
+                 b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8):
+        self.grad_clip = float(grad_clip)
+        self.frozen_fn = frozen_fn  # path -> bool (static, trace-time)
+        self.mu_dtype = jnp.dtype(mu_dtype)
+        self.b1 = float(b1)
+        self.b2 = float(b2)
+        self.eps = float(eps)
+
+    # -- tx API used by TrainState.reset_optimizer / create_train_state ----
+    def init(self, params) -> FusedAdamState:
+        def zeros(path, p, dtype=None):
+            if self.frozen_fn(path):
+                return optax.MaskedNode()
+            return jnp.zeros_like(p, dtype=dtype)
+
+        mu = jax.tree_util.tree_map_with_path(
+            lambda pth, p: zeros(pth, p, self.mu_dtype), params)
+        nu = jax.tree_util.tree_map_with_path(zeros, params)
+        return FusedAdamState(count=jnp.zeros([], jnp.int32), mu=mu, nu=nu)
+
+    # ----------------------------------------------------------------------
+    def update_params(self, params, grads, state: FusedAdamState,
+                      lr) -> Tuple[Any, FusedAdamState, jnp.ndarray]:
+        """One fused pass: returns (new_params, new_state, grad_norm).
+
+        ``lr`` is the scalar learning rate for this step (the Noam value —
+        reference train_iq.py:130, 252-257).
+        """
+        b1, b2, eps, clip = self.b1, self.b2, self.eps, self.grad_clip
+
+        flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+        paths = [p for p, _ in flat]
+        frozen = [bool(self.frozen_fn(p)) for p in paths]
+        p_leaves = [x for _, x in flat]
+        g_leaves = jax.tree_util.tree_leaves(grads)
+        mu_leaves, mu_def = _flatten_masked(state.mu)
+        nu_leaves, nu_def = _flatten_masked(state.nu)
+
+        # global norm over trainable leaves, optax summation order/formula
+        g_norm = jnp.sqrt(_global_sq_norm(zip(g_leaves, frozen)))
+        trigger = g_norm < clip  # optax.clip_by_global_norm trigger
+
+        count_inc = jnp.where(state.count < jnp.iinfo(jnp.int32).max,
+                              state.count + 1, state.count)  # safe_increment
+        bc1 = 1 - b1 ** count_inc  # weak f32, as optax bias_correction
+        bc2 = 1 - b2 ** count_inc
+
+        new_p, new_mu, new_nu = [], [], []
+        for p, g, mu, nu, frz in zip(p_leaves, g_leaves, mu_leaves,
+                                     nu_leaves, frozen):
+            if frz:
+                new_p.append(p)
+                new_mu.append(optax.MaskedNode())
+                new_nu.append(optax.MaskedNode())
+                continue
+            gc = jax.lax.select(
+                trigger, g, (g / g_norm.astype(g.dtype)) * clip)
+            # moment EMAs exactly as optax.tree.update_moment (bf16 mu:
+            # b1*mu computed in mu's dtype, then promoted by the add)
+            mu32 = (1 - b1) * gc + b1 * mu
+            nu1 = (1 - b2) * (gc ** 2) + b2 * nu
+            mu_hat = mu32 / bc1.astype(mu32.dtype)
+            nu_hat = nu1 / bc2.astype(nu1.dtype)
+            u = mu_hat / (jnp.sqrt(nu_hat) + eps)
+            # scale(-1) -> lr multiply -> apply_updates, collapsed; IEEE
+            # sign symmetry of multiply keeps this bitwise equal to the
+            # chain's lr * (-u) then p + (.)
+            step = (lr * u.astype(jnp.float32)).astype(u.dtype)
+            new_p.append((p - step).astype(p.dtype))
+            new_mu.append(mu32.astype(self.mu_dtype))
+            new_nu.append(nu1)
+
+        params_out = jax.tree_util.tree_unflatten(treedef, new_p)
+        st = FusedAdamState(count=count_inc,
+                            mu=jax.tree_util.tree_unflatten(mu_def, new_mu),
+                            nu=jax.tree_util.tree_unflatten(nu_def, new_nu))
+        return params_out, st, g_norm
+
+
+def _flatten_masked(tree):
+    """Flatten keeping MaskedNode placeholders as leaves so the moment
+    lists align 1:1 with the param leaves."""
+    return jax.tree_util.tree_flatten(
+        tree, is_leaf=lambda x: isinstance(x, optax.MaskedNode))
+
+
+def global_norm(tree) -> jnp.ndarray:
+    """optax.global_norm formula (shared by the unfused metric path)."""
+    leaves = jax.tree_util.tree_leaves(tree)
+    return jnp.sqrt(sum(jnp.sum(jnp.square(x.astype(jnp.float32)))
+                        for x in leaves))

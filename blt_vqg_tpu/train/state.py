@@ -33,15 +33,24 @@ def _is_frozen_path(path) -> bool:
     return "encoder_cnn" in keys and "backbone" in keys
 
 
-def make_optimizer(cfg: Config, params: Any) -> optax.GradientTransformation:
+def make_optimizer(cfg: Config, params: Any):
     """Clip + Adam moments; the Noam LR is applied in ``apply_gradients``
     from the GLOBAL step (exactly the reference's per-step param_group poke,
     train_iq.py:130, 252-257) — so the phase-boundary Adam restart resets
     moments but the LR keeps decaying on the global clock, as it does when
-    the reference pokes ``self.trainer.global_step`` into a fresh Adam."""
+    the reference pokes ``self.trainer.global_step`` into a fresh Adam.
+
+    Default is the FUSED clip+Adam+LR+apply pass (train/fused_adam.py):
+    one read-modify-write per tensor instead of the optax chain's many tree
+    passes — bit-parity-tested against the chain, which remains available
+    via ``cfg.fused_adam=False``."""
+    mu_dtype = jnp.dtype(getattr(cfg, "adam_mu_dtype", "float32"))
+    if getattr(cfg, "fused_adam", True):
+        from blt_vqg_tpu.train.fused_adam import FusedClipAdam
+        return FusedClipAdam(cfg.grad_clip, _is_frozen_path,
+                             mu_dtype=mu_dtype)
     label = jax.tree_util.tree_map_with_path(
         lambda path, _: "frozen" if _is_frozen_path(path) else "train", params)
-    mu_dtype = jnp.dtype(getattr(cfg, "adam_mu_dtype", "float32"))
     trainable = optax.chain(
         optax.clip_by_global_norm(cfg.grad_clip),
         optax.scale_by_adam(mu_dtype=mu_dtype),
@@ -63,13 +72,30 @@ class TrainState(struct.PyTreeNode):
 
     def apply_gradients(self, grads: Any, new_batch_stats: Optional[Any] = None,
                         kliter_inc: int = 0) -> "TrainState":
-        updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
+        state, _ = self.apply_gradients_with_norm(grads, new_batch_stats,
+                                                  kliter_inc)
+        return state
+
+    def apply_gradients_with_norm(
+            self, grads: Any, new_batch_stats: Optional[Any] = None,
+            kliter_inc: int = 0) -> tuple:
+        """Returns ``(new_state, grad_norm)``.  In fused mode the global
+        grad norm is a byproduct of the clip — logging it is free."""
+        from blt_vqg_tpu.train.fused_adam import FusedClipAdam, global_norm
         # LR from the global step — the reference's per-step lr poke
         lr = self.lr_fn(self.step)
-        updates = jax.tree_util.tree_map(
-            lambda u: (lr * u.astype(jnp.float32)).astype(u.dtype), updates)
-        new_params = optax.apply_updates(self.params, updates)
-        return self.replace(
+        if isinstance(self.tx, FusedClipAdam):
+            new_params, new_opt_state, gnorm = self.tx.update_params(
+                self.params, grads, self.opt_state, lr)
+        else:
+            updates, new_opt_state = self.tx.update(
+                grads, self.opt_state, self.params)
+            updates = jax.tree_util.tree_map(
+                lambda u: (lr * u.astype(jnp.float32)).astype(u.dtype),
+                updates)
+            new_params = optax.apply_updates(self.params, updates)
+            gnorm = global_norm(grads)
+        new_state = self.replace(
             step=self.step + 1,
             kliter=self.kliter + kliter_inc,
             params=new_params,
@@ -77,6 +103,7 @@ class TrainState(struct.PyTreeNode):
                          else self.batch_stats),
             opt_state=new_opt_state,
         )
+        return new_state, gnorm
 
     def reset_optimizer(self) -> "TrainState":
         """Adam restart at the pretrain→latent phase boundary."""

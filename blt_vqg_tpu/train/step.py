@@ -64,12 +64,13 @@ def _step_core(state: TrainState, batch: Dict[str, jnp.ndarray],
     grad_fn = jax.value_and_grad(_loss_fn, has_aux=True)
     (_, (out, new_stats)), grads = grad_fn(
         state.params, state, batch, rng, cfg, latent_mode)
-    new_state = state.apply_gradients(
+    new_state, gnorm = state.apply_gradients_with_norm(
         grads, new_batch_stats=new_stats,
         kliter_inc=1 if latent_mode else 0)
     metrics = dict(out.as_dict())
     if cfg.log_grad_norm:
-        metrics["grad_norm"] = optax_global_norm(grads)
+        # free in fused mode: the clip already computed the global norm
+        metrics["grad_norm"] = gnorm
     if cfg.guard_nonfinite:
         from blt_vqg_tpu.core.debug import guarded_update
         # keep step/kliter advancing even on a skipped update

@@ -97,9 +97,26 @@ class TestOptimizerMasking:
                 "fc": {"kernel": jnp.ones((4, 4))}},
             "decoder": {"layer_0": {"w": jnp.ones((2, 2))}},
         }
+        grads = jax.tree.map(jnp.ones_like, params)
+
+        # fused path (default): frozen backbone bitwise untouched
         tx = make_optimizer(tiny_cfg, params)
         st = tx.init(params)
-        grads = jax.tree.map(jnp.ones_like, params)
+        new_p, _, _ = tx.update_params(params, grads, st,
+                                       jnp.asarray(0.1, jnp.float32))
+        np.testing.assert_array_equal(
+            np.asarray(new_p["encoder_cnn"]["backbone"]["stem_conv"]["kernel"]),
+            np.asarray(params["encoder_cnn"]["backbone"]["stem_conv"]["kernel"]))
+        assert np.abs(np.asarray(new_p["encoder_cnn"]["fc"]["kernel"])
+                      - np.asarray(params["encoder_cnn"]["fc"]["kernel"])
+                      ).max() > 0
+        assert np.abs(np.asarray(new_p["decoder"]["layer_0"]["w"])
+                      - np.asarray(params["decoder"]["layer_0"]["w"])
+                      ).max() > 0
+
+        # optax-chain path (fused_adam=False): zero update on the backbone
+        tx = make_optimizer(tiny_cfg.replace(fused_adam=False), params)
+        st = tx.init(params)
         # Noam lr(0) == 0 (reference formula) — take two steps and check the
         # second, where lr > 0
         updates, st = tx.update(grads, st, params)
@@ -144,7 +161,11 @@ class TestAdamMuDtype:
         state = create_train_state(cfg, model, jax.random.key(0), batch)
 
         def find_adam(opt_state):
-            is_adam = lambda x: isinstance(x, optax.ScaleByAdamState)
+            # default optimizer is the fused pass (FusedAdamState); the
+            # optax chain (ScaleByAdamState) remains via fused_adam=False
+            from blt_vqg_tpu.train.fused_adam import FusedAdamState
+            is_adam = lambda x: isinstance(
+                x, (optax.ScaleByAdamState, FusedAdamState))
             return next(s for s in jax.tree_util.tree_leaves(
                 opt_state, is_leaf=is_adam) if is_adam(s))
 
@@ -546,7 +567,7 @@ class TestLegacyLoopUtilities:
         old_train_iq.py:360-362): decay by `factor` after `patience`
         non-improving updates, floor at min_scale, reset on improvement."""
         from blt_vqg_tpu.train.schedule import ReduceLROnPlateau
-        s = ReduceLROnPlateau(factor=0.1, patience=2, min_scale=1e-3)
+        s = ReduceLROnPlateau(factor=0.1, patience=2, min_lr=1e-3)
         assert s.update(1.0) == 1.0          # first value = best
         assert s.update(0.5) == 1.0          # improvement
         assert s.update(0.6) == 1.0          # bad 1
@@ -559,3 +580,11 @@ class TestLegacyLoopUtilities:
         for _ in range(20):
             last = s.update(0.41)
         assert last == 1e-3                  # floored (max() returns min_scale exactly)
+        # torch min_lr floors the ABSOLUTE lr: with base_lr the returned
+        # multiplier floors at min_lr/base_lr (ADVICE round-2 fix)
+        s2 = ReduceLROnPlateau(factor=0.1, patience=0, min_lr=1e-3,
+                               base_lr=0.1)
+        s2.update(1.0)
+        for _ in range(20):
+            last = s2.update(2.0)
+        assert last == pytest.approx(1e-2)   # 1e-3 absolute / 0.1 base
