@@ -17,11 +17,16 @@ against nltk/sacrebleu/rouge_score where formulas coincide):
   Gaussian, using RAW term counts (not length-normalized) and
   ref_len=log(num images), exactly as pycocoevalcap's CiderScorer — with a
   single image the IDF log collapses to 0 and CIDEr is 0 by construction;
-- METEOR-lite: harmonic mean of unigram precision/recall (alpha=0.9) with a
-  fragmentation penalty (gamma=0.5, beta=3) on exact matches — the
-  exact-match core of METEOR without WordNet synonymy / the Java jar.  This
-  one is an approximation, NOT pycocoevalcap-equal; it is golden-pinned to
-  its own documented formula.
+- METEOR: the METEOR-1.5 algorithm (train/meteor.py) — exact + Porter-stem
+  matcher stages, chunk-MINIMIZING beam-search alignment (the jar Aligner's
+  objective order), jar-default English parameters (alpha=0.85, beta=0.2,
+  gamma=0.6, delta=0.75 content/function weighting), corpus score from
+  micro-aggregated statistics.  Documented delta from the jar: no WordNet
+  synonym / paraphrase-table stages (their data files cannot ship here), and
+  the stem stage uses classic Porter rather than Snowball English.
+- meteor_lite (kept for comparison only): the round-2 greedy exact-match
+  approximation with METEOR-1.0-era constants; no longer what the facade
+  reports.
 
 API mirrors NLGEval.compute_metrics(ref_list, hyp_list) → dict of floats.
 """
@@ -223,11 +228,12 @@ class NLGEval:
         refs_per_hyp = [[ref_list[s][i].split() for s in range(len(ref_list))]
                         for i in range(len(hyp_list))]
         hyps = [h.split() for h in hyp_list]
+        from blt_vqg_tpu.train.meteor import meteor
         bleu = corpus_bleu(refs_per_hyp, hyps, 4)
         return {
             "Bleu_1": bleu[0], "Bleu_2": bleu[1],
             "Bleu_3": bleu[2], "Bleu_4": bleu[3],
-            "METEOR": meteor_lite(refs_per_hyp, hyps),
+            "METEOR": meteor(refs_per_hyp, hyps),
             "ROUGE_L": rouge_l(refs_per_hyp, hyps),
             "CIDEr": cider(refs_per_hyp, hyps),
         }

@@ -1,0 +1,161 @@
+"""METEOR (train/meteor.py): Porter-stemmer goldens, chunk-minimizing
+alignment (incl. cases the old greedy aligner got wrong), fractional score
+goldens, and corpus micro-aggregation.
+
+The jar itself (reference utils/__init__.py:2 nlg_eval submodule) is not
+runnable here; these tests pin the documented algorithm — METEOR-1.5
+parameters, exact+stem stages, jar-Aligner objective order.
+"""
+
+import math
+
+import pytest
+
+from blt_vqg_tpu.train.meteor import (
+    ALPHA, BETA, DELTA, GAMMA, align, meteor, meteor_sentence, porter_stem)
+from blt_vqg_tpu.train.nlg_metrics import NLGEval, _align as greedy_align
+
+
+class TestPorterStemmer:
+    def test_against_nltk_original_algorithm(self):
+        """The in-repo stemmer IS classic Porter (1980): cross-check every
+        word of a mixed vocabulary against nltk's ORIGINAL_ALGORITHM mode
+        (pure code, no nltk data files needed)."""
+        from nltk.stem.porter import PorterStemmer
+        ps = PorterStemmer(mode="ORIGINAL_ALGORITHM")
+        words = """caresses ponies ties caress cats feed agreed plastered
+        bled motoring sing conflated troubled sized hopping tanned falling
+        hissing fizzed failing filing happy sky relational conditional
+        rational valenci hesitanci digitizer conformabli radicalli
+        differentli vileli analogousli vietnamization predication operator
+        feudalism decisiveness hopefulness callousness formaliti
+        sensitiviti sensibiliti triplicate formative formalize electriciti
+        electrical hopeful goodness revival allowance inference airliner
+        gyroscopic adjustable defensible irritant replacement adjustment
+        dependent adoption homologou communism activate angulariti
+        homologous effective bowdlerize probate rate cease controll roll
+        generalizations oscillators running walked jumped quickly questions
+        answers generated images asked what where doing playing being done
+        said made went gone taken given seen shown told known thought
+        colors colour colours photographs photographed standing sitting""".split()
+        for w in words:
+            assert porter_stem(w) == ps.stem(w), w
+
+    def test_short_and_nonalpha_passthrough(self):
+        assert porter_stem("at") == "at"
+        assert porter_stem("3") == "3"
+        assert porter_stem("it's") == "it's"
+
+
+class TestAligner:
+    def test_chunk_minimizing_beats_greedy(self):
+        """hyp 'the cat' vs ref 'the dog saw the cat': greedy grabs the
+        FIRST 'the' (2 chunks); the jar objective picks the second 'the'
+        (1 contiguous chunk)."""
+        hyp = "the cat".split()
+        ref = "the dog saw the cat".split()
+        pairs = align(hyp, ref)
+        assert pairs == [(0, 3, 1.0), (1, 4, 1.0)]
+        # the greedy aligner really does get this wrong (regression anchor)
+        g_matches, g_chunks = greedy_align(hyp, ref)
+        assert g_matches == 2 and g_chunks == 2
+
+    def test_matches_maximized_before_chunks(self):
+        # aligning both 'a's costs a chunk but coverage wins
+        hyp = "a b a".split()
+        ref = "a a b".split()
+        pairs = align(hyp, ref)
+        assert len(pairs) == 3
+
+    def test_objective_order_distance_before_stage(self):
+        """The jar resolves matches by coverage, then chunks, then summed
+        position distance — stage weight is only a final tie-break.  So a
+        same-position STEM match beats a farther EXACT match..."""
+        pairs = align(["cats"], ["cat", "cats"])
+        assert pairs == [(0, 0, 0.6)]
+        # ...but for the SAME pair, EXACT shadows STEM (weight 1.0)
+        pairs = align(["cats"], ["cats"])
+        assert pairs == [(0, 0, 1.0)]
+
+    def test_stem_stage_weight(self):
+        pairs = align(["running"], ["runs"])
+        assert pairs == [(0, 0, 0.6)]
+
+    def test_empty(self):
+        assert align([], ["a"]) == []
+        assert align(["a"], []) == []
+
+
+class TestScoreGoldens:
+    def test_identical_is_one(self):
+        s = "what color is the cat".split()
+        assert meteor_sentence(s, s) == 1.0
+
+    def test_no_match_is_zero(self):
+        assert meteor_sentence("x y".split(), "a b".split()) == 0.0
+
+    def test_scrambled_fractional_golden(self):
+        """All 6 words match exactly but in 3 chunks:
+        P=R=1, fmean=1, frag=3/6, penalty=0.6*(0.5^0.2)."""
+        hyp = "on the mat sat the cat".split()
+        ref = "the cat sat on the mat".split()
+        want = 1.0 * (1 - GAMMA * (0.5 ** BETA))
+        assert meteor_sentence(hyp, ref) == pytest.approx(want, rel=1e-12)
+
+    def test_stem_and_function_word_golden(self):
+        """hyp 'a dog is running' / ref 'the dog runs fast': one exact
+        (dog) + one stem (running~runs, w=0.6); content weight 0.75,
+        function 0.25; 2 chunks / 2 matches -> frag 1."""
+        hyp = "a dog is running".split()
+        ref = "the dog runs fast".split()
+        p = (1.0 * DELTA + 0.6 * DELTA) / (2 * (1 - DELTA) + 2 * DELTA)
+        r = (1.0 * DELTA + 0.6 * DELTA) / (1 * (1 - DELTA) + 3 * DELTA)
+        fmean = p * r / (ALPHA * p + (1 - ALPHA) * r)
+        want = fmean * (1 - GAMMA * (1.0 ** BETA))
+        assert meteor_sentence(hyp, ref) == pytest.approx(want, rel=1e-12)
+
+    def test_greedy_alignment_would_overcount_chunks(self):
+        """Score golden for the aligner regression: with chunk-minimizing
+        alignment 'the cat' in 'the dog saw the cat' is ONE chunk
+        (frag 1/2), not the greedy two (frag 1)."""
+        hyp = "the cat".split()
+        ref = "the dog saw the cat".split()
+        p_num = 1.0 * (1 - DELTA) + 1.0 * DELTA        # the(func) + cat
+        p_den = (1 - DELTA) + DELTA
+        r_den = 2 * (1 - DELTA) + 3 * DELTA
+        p = p_num / p_den
+        r = p_num / r_den
+        fmean = p * r / (ALPHA * p + (1 - ALPHA) * r)
+        want = fmean * (1 - GAMMA * (0.5 ** BETA))
+        assert meteor_sentence(hyp, ref) == pytest.approx(want, rel=1e-12)
+        # and the greedy-chunked score would be strictly lower
+        greedy_pen = fmean * (1 - GAMMA * (1.0 ** BETA))
+        assert meteor_sentence(hyp, ref) > greedy_pen
+
+
+class TestCorpus:
+    def test_micro_aggregation_not_mean(self):
+        """Corpus score comes from summed statistics (the jar's test-set
+        score), so it differs from the mean of segment scores."""
+        h1, r1 = "a b".split(), "a b".split()
+        h2, r2 = "x y z w".split(), "p q r s".split()
+        seg = [meteor_sentence(h1, r1), meteor_sentence(h2, r2)]
+        corpus = meteor([[r1], [r2]], [h1, h2])
+        mean = sum(seg) / 2
+        assert corpus != pytest.approx(mean)
+        assert 0.0 < corpus < 1.0
+
+    def test_best_reference_wins(self):
+        hyp = "the red ball".split()
+        good = "the red ball".split()
+        bad = "a blue cube".split()
+        assert meteor([[bad, good]], [hyp]) == 1.0
+
+    def test_facade_reports_real_meteor(self):
+        ev = NLGEval()
+        out = ev.compute_metrics([["what color is the cat"]],
+                                 ["what color is the cat"])
+        assert out["METEOR"] == 1.0
+        out2 = ev.compute_metrics([["what color is the small cat"]],
+                                  ["what is the color of the cat"])
+        assert 0.0 < out2["METEOR"] < 1.0
