@@ -95,6 +95,19 @@ def bench_jax() -> dict:
     _ = float(m["loss"])
     compile_s = time.time() - t0
 
+    # XLA's own cost analysis of the compiled step → roofline/MFU fields
+    # (the defensible per-chip numbers; see benchmarks/METHODOLOGY.md)
+    try:
+        ca = step.lower(state, batch, jax.random.key(1)).compile(
+        ).cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        step_flops = float(ca.get("flops", 0.0))
+        step_bytes = float(ca.get("bytes accessed", 0.0))
+    except Exception as e:  # pragma: no cover - cost analysis is best-effort
+        log("cost_analysis unavailable:", e)
+        step_flops = step_bytes = 0.0
+
     # donated state threads through every timed section via this holder
     # (donation invalidates the buffers a name pointed to before the call)
     S = {"s": state}
@@ -240,7 +253,9 @@ def bench_jax() -> dict:
             "decode_qps": decode_qps, "decode_qps_probe": decode_qps_probe,
             "decode_qps_512": decode_qps_512,
             "platform": platform, "compile_s": compile_s,
-            "step_ms": step_ms}
+            "step_ms": step_ms,
+            "step_flops": step_flops, "step_bytes": step_bytes,
+            "device_kind": jax.devices()[0].device_kind}
 
 
 def bench_torch_reference() -> float:
@@ -382,6 +397,18 @@ def bench_torch_reference() -> float:
     return sps
 
 
+# peak specs by TPU generation (bf16 MXU FLOP/s, HBM bytes/s) — used for
+# the roofline/MFU fields; sustained-achievable compute is ~80% of peak on
+# this chip (benchmarks/METHODOLOGY.md: 157 TF/s measured on chained GEMMs)
+_PEAKS = {
+    "TPU v5 lite": (197e12, 819e9),
+    "TPU v5e": (197e12, 819e9),
+    "TPU v5p": (459e12, 2765e9),
+    "TPU v4": (275e12, 1228e9),
+    "TPU v6e": (918e12, 1640e9),
+}
+
+
 def main():
     jx = bench_jax()
     try:
@@ -390,13 +417,39 @@ def main():
         log("torch baseline failed:", e)
         baseline_sps = None
     vs = (jx["train_sps"] / baseline_sps) if baseline_sps else 1.0
+
+    # roofline / MFU from XLA cost analysis + the measured single-dispatch
+    # step time (the defensible per-chip efficiency numbers)
+    peak_flops, peak_bw = _PEAKS.get(jx.get("device_kind", ""), (None, None))
+    step_s = jx["step_ms"] / 1000.0
+    flops_per_sec = jx["step_flops"] / step_s if jx["step_flops"] else None
+    roofline = {}
+    if flops_per_sec and peak_flops:
+        roofline = {
+            "model_flops_per_step": round(jx["step_flops"]),
+            "hbm_bytes_per_step": round(jx["step_bytes"]),
+            "model_flops_per_sec": round(flops_per_sec),
+            "mfu": round(flops_per_sec / peak_flops, 4),
+            "fraction_of_compute_roofline": round(
+                flops_per_sec / (0.8 * peak_flops), 4),
+            "fraction_of_bandwidth_roofline": round(
+                (jx["step_bytes"] / step_s) / peak_bw, 4),
+            "device_kind": jx["device_kind"],
+        }
+
     print(json.dumps({
         "metric": "iq_big_train_samples_per_sec",
         "value": round(jx["train_sps"], 2),
         "unit": "samples/sec",
+        # kept for the driver contract; this ratio is TPU-chip vs HOST-CPU
+        # torch (no GPU exists here) — NOT a per-chip-class comparison.
+        # The defensible efficiency numbers are the roofline fields below.
         "vs_baseline": round(vs, 2),
+        "vs_baseline_kind": "vs_host_cpu_torch (apples-to-oranges: the "
+        "reference stack can only run on this host's CPU — BASELINE.md)",
         "baseline": "reference-equivalent PyTorch on host CPU (samples/sec)",
         "baseline_value": round(baseline_sps, 2) if baseline_sps else None,
+        **roofline,
         "platform": jx["platform"],
         "step_ms": round(jx["step_ms"], 2),
         "train_samples_per_sec_single_dispatch": round(jx["train_sps_single"], 2),
