@@ -129,7 +129,10 @@ def main(argv=None):
             for spec in args.slot_env:
                 slot, kv = spec.split(":", 1)
                 key, val = kv.split("=", 1)
-                per_slot[int(slot) % args.parallel][key] = val
+                if not 0 <= int(slot) < args.parallel:
+                    parser.error(f"--slot-env slot {slot} out of range "
+                                 f"for --parallel {args.parallel}")
+                per_slot[int(slot)][key] = val
             slot_envs = per_slot
         elif env:
             slot_envs = [env]

@@ -34,13 +34,20 @@ class ReduceLROnPlateau:
     apply on top of the base schedule/LR; the caller owns the optimizer
     (jit-friendly — scale is a host-side float fed as a step argument,
     like the Noam poke).
+
+    Floor semantics: torch's ``min_lr`` floors the ABSOLUTE learning rate;
+    since this class returns a relative multiplier, pass ``base_lr`` to get
+    the same behavior (the returned scale is floored at ``min_lr/base_lr``).
+    Without ``base_lr`` the floor applies to the multiplier itself —
+    equivalent only when the base LR is 1.0.
     """
 
     def __init__(self, factor: float = 0.1, patience: int = 10,
-                 min_scale: float = 1e-7, min_delta: float = 0.0):
+                 min_lr: float = 1e-7, min_delta: float = 0.0,
+                 base_lr: float = None):
         self.factor = factor
         self.patience = patience
-        self.min_scale = min_scale
+        self.min_scale = min_lr / base_lr if base_lr else min_lr
         self.min_delta = min_delta
         self.best = float("inf")
         self.bad = 0

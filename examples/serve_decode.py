@@ -68,7 +68,10 @@ def main(argv=None):
     print(f"restored step {int(state.step)} "
           f"({cfg.checkpoint_backend} backend)")
 
-    latent = int(state.step) > cfg.num_pretraining_steps
+    # >= matches the trainer's phase boundary (trainer.py: the latent phase
+    # begins AT step num_pretraining_steps) — a checkpoint saved exactly at
+    # the boundary serves in latent mode
+    latent = int(state.step) >= cfg.num_pretraining_steps
     decode = make_decode_step(cfg, model, latent_mode=latent,
                               with_probe=False)
 

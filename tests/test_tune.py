@@ -171,6 +171,16 @@ with open(os.path.join(trial_dir, f"end_{rung}"), "w") as f:
                         seen.add(json.load(f)["slice"])
         assert seen == {"s0", "s1"}
 
+    def test_slot_env_out_of_range_rejected(self):
+        """A typo'd --slot-env slot index (>= --parallel) is a parse error,
+        not a silent modulo-wrap onto another slot (ADVICE round-2 fix)."""
+        import pytest
+        from blt_vqg_tpu.cli.tune import main
+        with pytest.raises(SystemExit) as e:
+            main(["--parallel", "2", "--slot-env", "4:FAKE=x",
+                  "--tune-space", "tiny"])
+        assert e.value.code == 2  # argparse parser.error
+
     def test_failed_child_kills_trial(self, tmp_path):
         import sys
         from blt_vqg_tpu.train.tune import run_tune_parallel
