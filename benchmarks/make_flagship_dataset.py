@@ -1,0 +1,203 @@
+"""Build a reference-SCALE synthetic VQA dataset through the REAL ETL.
+
+VQA v2 itself is unreachable in this environment (no egress), so this
+generates a corpus with the reference dataset's shape — ≥100k QAs over
+~12k distinct 224px images, ~12k-word vocabulary, 16 answer categories —
+as fake-COCO inputs (JPEG files + VQA-format question/annotation JSON),
+then runs the ACTUAL offline pipeline end to end:
+
+    cli.store_dataset (--uint8)  →  hdf5 (reference schema)
+    data.packed.pack_hdf5        →  mmap-packed runtime format
+
+This is the fixture for benchmarks/pipeline_flagship.md (VERDICT round-2
+item 2): proving the host input pipeline sustains flagship-config training
+(reference train_iq.py:366-369 DataLoader-worker capability).
+
+Usage:  python benchmarks/make_flagship_dataset.py --root /root/data_flagship
+        [--num-qa 110000 --num-images 12000 --val-qa 5120 --im-size 224]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def make_word_list(n: int, seed: int = 0):
+    """n distinct pronounceable pseudo-words (pure-alpha — survives the
+    reference tokenizer regex untouched)."""
+    rng = np.random.RandomState(seed)
+    syll = ["ka", "ro", "mi", "ta", "lu", "ne", "so", "vi", "pa", "de",
+            "fu", "ge", "hi", "jo", "ku", "la", "mo", "nu", "pe", "ri",
+            "sa", "te", "va", "wo", "yu", "ze", "bi", "co", "du", "fa"]
+    words = []
+    seen = set()
+    while len(words) < n:
+        w = "".join(rng.choice(syll, size=rng.randint(2, 5)))
+        if w not in seen:
+            seen.add(w)
+            words.append(w)
+    return words
+
+
+def make_images(img_dir: str, split: str, num: int, im_size: int,
+                seed: int = 0):
+    """Structured JPEGs (gradient + random rectangles) — realistic decode
+    cost without noise-JPEG bloat.  Both COCO filename formats."""
+    from PIL import Image
+    rng = np.random.RandomState(seed)
+    os.makedirs(img_dir, exist_ok=True)
+    ramp = np.linspace(0, 255, im_size, dtype=np.float32)
+    base = (ramp[None, :, None] + ramp[:, None, None]) / 2
+    for i in range(num):
+        img = np.broadcast_to(base, (im_size, im_size, 3)).copy()
+        img += rng.randint(-40, 40, (1, 1, 3))
+        for _ in range(4):
+            y, x = rng.randint(0, im_size - 16, 2)
+            h, w = rng.randint(16, im_size // 2, 2)
+            img[y:y + h, x:x + w] = rng.randint(0, 255, (1, 1, 3))
+        arr = np.clip(img, 0, 255).astype(np.uint8)
+        name = (f"COCO_{split}2014_{i + 1}.jpg" if i % 2 == 0
+                else f"COCO_{split}2014_{i + 1:012d}.jpg")
+        Image.fromarray(arr).save(os.path.join(img_dir, name), "JPEG",
+                                  quality=80)
+        if (i + 1) % 2000 == 0:
+            print(f"  {split} images: {i + 1}/{num}", flush=True)
+
+
+def make_qa_json(root: str, split: str, num_qa: int, num_images: int,
+                 q_words, answers_by_cat, seed: int = 1):
+    """VQA-v2-format questions/annotations: zipf-ish word draw (so the
+    count>=4 vocab threshold keeps ~the full word list), category-balanced
+    answers."""
+    rng = np.random.RandomState(seed)
+    nw = len(q_words)
+    # zipf-ish but bounded: rank r gets weight 1/(1 + 8r/nw)
+    w = 1.0 / (1.0 + 8.0 * np.arange(nw) / nw)
+    w /= w.sum()
+    cats = sorted(answers_by_cat)
+    questions, annotations = [], []
+    for qid in range(num_qa):
+        image_id = int(rng.randint(1, num_images + 1))
+        n = int(rng.randint(5, 16))
+        toks = [q_words[j] for j in rng.choice(nw, size=n, p=w)]
+        cat = cats[qid % len(cats)]
+        ans = answers_by_cat[cat][rng.randint(len(answers_by_cat[cat]))]
+        questions.append({"image_id": image_id, "question_id": qid,
+                          "question": " ".join(toks) + "?"})
+        annotations.append({"image_id": image_id, "question_id": qid,
+                            "multiple_choice_answer": ans})
+    qp = os.path.join(root, f"questions_{split}.json")
+    ap = os.path.join(root, f"annotations_{split}.json")
+    with open(qp, "w") as f:
+        json.dump({"questions": questions}, f)
+    with open(ap, "w") as f:
+        json.dump({"annotations": annotations}, f)
+    return qp, ap
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--root", type=str, default="/root/data_flagship")
+    p.add_argument("--num-qa", type=int, default=110_000)
+    p.add_argument("--num-images", type=int, default=12_000)
+    p.add_argument("--val-qa", type=int, default=5_120)
+    p.add_argument("--val-images", type=int, default=640)
+    p.add_argument("--im-size", type=int, default=224)
+    p.add_argument("--vocab-words", type=int, default=11_500)
+    p.add_argument("--num-cats", type=int, default=16)
+    p.add_argument("--skip-images", action="store_true",
+                   help="image dirs already populated")
+    args = p.parse_args()
+
+    os.makedirs(args.root, exist_ok=True)
+    t0 = time.time()
+    timings = {}
+
+    # vocabulary material: question words + per-category answers
+    q_words = make_word_list(args.vocab_words, seed=0)
+    a_words = make_word_list(args.num_cats * 40 + args.num_cats, seed=7)
+    # answers must not collide with question words (distinct seeds can
+    # still collide — filter)
+    a_words = [w for w in a_words if w not in set(q_words)]
+    cats = [f"cat{i}" for i in range(args.num_cats)]
+    answers_by_cat = {c: a_words[i * 40:(i + 1) * 40]
+                      for i, c in enumerate(cats)}
+    cat2ans_path = os.path.join(args.root, "cat2ans.json")
+    with open(cat2ans_path, "w") as f:
+        json.dump(answers_by_cat, f)
+
+    t = time.time()
+    if not args.skip_images:
+        make_images(os.path.join(args.root, "images"), "train",
+                    args.num_images, args.im_size, seed=2)
+        make_images(os.path.join(args.root, "images"), "val",
+                    args.val_images, args.im_size, seed=3)
+    timings["images_s"] = time.time() - t
+
+    t = time.time()
+    qp, ap = make_qa_json(args.root, "train", args.num_qa, args.num_images,
+                          q_words, answers_by_cat, seed=1)
+    vqp, vap = make_qa_json(args.root, "val", args.val_qa, args.val_images,
+                            q_words, answers_by_cat, seed=4)
+    timings["json_s"] = time.time() - t
+
+    # the REAL ETL (reference utils/store_dataset.py capability)
+    from blt_vqg_tpu.cli.store_dataset import main as store_main
+    img_dir = os.path.join(args.root, "images")
+    vocab_path = os.path.join(args.root, "vocab_iq.json")
+    train_h5 = os.path.join(args.root, "iq_dataset.hdf5")
+    val_h5 = os.path.join(args.root, "iq_val_dataset.hdf5")
+    cat2name = os.path.join(args.root, "cat2name.json")
+
+    t = time.time()
+    rc = store_main(["--image-dir", img_dir, "--questions", qp,
+                     "--annotations", ap, "--cat2ans", cat2ans_path,
+                     "--vocab-path", vocab_path, "--output", train_h5,
+                     "--cat2name", cat2name, "--im_size", str(args.im_size),
+                     "--uint8"])
+    assert rc == 0
+    timings["etl_train_s"] = time.time() - t
+
+    t = time.time()
+    rc = store_main(["--image-dir", img_dir, "--questions", vqp,
+                     "--annotations", vap, "--cat2ans", cat2ans_path,
+                     "--vocab-path", vocab_path, "--output", val_h5,
+                     "--cat2name", cat2name, "--im_size", str(args.im_size),
+                     "--uint8", "--val"])
+    assert rc == 0
+    timings["etl_val_s"] = time.time() - t
+
+    # hdf5 → packed mmap runtime format (data/packed.py + native ingest)
+    from blt_vqg_tpu.data.packed import pack_hdf5
+    t = time.time()
+    pack_hdf5(train_h5, os.path.join(args.root, "packed_train"))
+    pack_hdf5(val_h5, os.path.join(args.root, "packed_val"))
+    timings["pack_s"] = time.time() - t
+
+    from blt_vqg_tpu.text.vocabulary import load_vocab
+    vocab = load_vocab(vocab_path)
+    summary = {
+        "root": args.root,
+        "num_qa": args.num_qa, "num_images": args.num_images,
+        "val_qa": args.val_qa, "im_size": args.im_size,
+        "vocab_size": len(vocab),
+        "hdf5_train_gb": round(os.path.getsize(train_h5) / 1e9, 2),
+        "timings_s": {k: round(v, 1) for k, v in timings.items()},
+        "total_s": round(time.time() - t0, 1),
+    }
+    with open(os.path.join(args.root, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps(summary, indent=2))
+
+
+if __name__ == "__main__":
+    main()
