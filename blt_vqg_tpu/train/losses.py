@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 import optax
 
@@ -42,6 +43,24 @@ def masked_token_ce(logits: jnp.ndarray, targets: jnp.ndarray,
     (reference nn.CrossEntropyLoss(ignore_index=pad), train_iq.py:54-55)."""
     logits = logits.astype(jnp.float32)
     ce = optax.softmax_cross_entropy_with_integer_labels(logits, targets)
+    mask = (targets != pad_id).astype(jnp.float32)
+    return jnp.sum(ce * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
+def broadcast_token_ce(z_logit: jnp.ndarray, targets: jnp.ndarray,
+                       pad_id: int = PAD_ID) -> jnp.ndarray:
+    """Mean CE of ONE logit row per example against every non-pad target
+    token of that example — mathematically identical to broadcasting
+    ``z_logit`` across T and calling ``masked_token_ce`` (the reference's
+    ``z_logit.unsqueeze(1).repeat(1, T, 1)`` aux loss, train_iq.py:92-94),
+    but without materializing the [B, T, V] tensor: the logsumexp is
+    computed once per example and T gathers pick the label logits."""
+    z = z_logit.astype(jnp.float32)
+    # stabilized logsumexp, as optax does inside its CE
+    zmax = jax.lax.stop_gradient(jnp.max(z, axis=-1, keepdims=True))
+    lse = jnp.log(jnp.sum(jnp.exp(z - zmax), axis=-1)) + zmax[:, 0]  # [B]
+    picked = jnp.take_along_axis(z, targets, axis=1)                 # [B, T]
+    ce = lse[:, None] - picked
     mask = (targets != pad_id).astype(jnp.float32)
     return jnp.sum(ce * mask) / jnp.maximum(jnp.sum(mask), 1.0)
 
@@ -99,11 +118,12 @@ def compute_losses(
         return LossOutputs(loss=loss, rec=rec, img=img, ppl=ppl,
                            kld=zero, aux=zero, elbo=rec)
 
-    # z-classifier CE broadcast across timesteps (reference train_iq.py:92-94)
-    t = logits.shape[1]
-    z_rep = jnp.broadcast_to(z_logit[:, None, :],
-                             (z_logit.shape[0], t, z_logit.shape[1]))
-    aux = masked_token_ce(z_rep, targets)
+    # z-classifier CE broadcast across timesteps (reference train_iq.py:92-94).
+    # The broadcast rows are identical per example, so CE(z_rep, targets)
+    # factors as logsumexp(z)[b] − z[b, targets[b, t]]: O(B·V) instead of a
+    # materialized [B, T, V] f32 tensor (61 MB at the flagship config, with
+    # several more in its softmax backward) — same value, bandwidth-diet.
+    aux = broadcast_token_ce(z_logit, targets)
 
     kl_w = kl_weight_schedule(kliter, full_kl_step)
     elbo = rec + kld

@@ -63,6 +63,27 @@ class TestLosses:
         np.testing.assert_allclose(float(lat.elbo),
                                    float(lat.rec) + 2.0, rtol=1e-5)
 
+    def test_broadcast_ce_equals_materialized(self):
+        """broadcast_token_ce (O(B·V), no [B,T,V] tensor) must equal the
+        reference's broadcast-then-CE form in value AND gradient."""
+        from blt_vqg_tpu.train.losses import broadcast_token_ce
+        b, t, v = 4, 6, 32
+        r = np.random.RandomState(0)
+        z = jnp.asarray(r.randn(b, v) * 3, jnp.float32)
+        targets = jnp.asarray(r.randint(0, v, (b, t)))
+        targets = targets.at[0, -2:].set(0)  # pad positions
+
+        def materialized(z):
+            z_rep = jnp.broadcast_to(z[:, None, :], (b, t, v))
+            return masked_token_ce(z_rep, targets)
+
+        want, gwant = jax.value_and_grad(materialized)(z)
+        got, ggot = jax.value_and_grad(
+            lambda z: broadcast_token_ce(z, targets))(z)
+        np.testing.assert_allclose(float(got), float(want), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(ggot), np.asarray(gwant),
+                                   atol=1e-6)
+
     def test_ppl_capped(self):
         out = compute_losses(
             jnp.full((1, 2, 4), 0.0), jnp.array([[1, 2]]),
