@@ -77,7 +77,11 @@ class Config:
 
     # --- TPU-native options (no reference equivalent) ---
     dtype: str = "bfloat16"           # compute dtype for matmuls/attention
-    param_dtype: str = "float32"      # parameter storage dtype
+    param_dtype: str = "float32"      # parameter STORAGE dtype; "bfloat16"
+                                      # = mixed precision (bf16 params +
+                                      # f32 Adam masters, fused optimizer
+                                      # only; vocab heads stay f32) — the
+                                      # compute dtype is `dtype` either way
     mesh_shape: Tuple[int, ...] = (1, 1)   # (data, model)
     mesh_axis_names: Tuple[str, ...] = ("data", "model")
     use_pallas_attention: bool = False
@@ -280,6 +284,15 @@ def add_config_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
                         "like the reference (exact decode parity)")
     # TPU-native flags
     parser.add_argument("--dtype", type=str, default=defaults.dtype)
+    parser.add_argument("--param_dtype", type=str,
+                        default=defaults.param_dtype,
+                        choices=("float32", "bfloat16"),
+                        help="'bfloat16': mixed-precision storage — params "
+                        "live in bf16 with f32 Adam masters (train/"
+                        "fused_adam.py); forward math is value-identical "
+                        "(compute was already bf16), grads/update gain one "
+                        "bf16 rounding.  HBM diet for the bandwidth-bound "
+                        "step")
     parser.add_argument("--num_data_shards", type=int, default=1,
                         help="size of the 'data' mesh axis")
     parser.add_argument("--num_model_shards", type=int, default=1,

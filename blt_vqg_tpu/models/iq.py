@@ -461,5 +461,7 @@ def apply_glove_table(params: Dict[str, Any], table) -> Dict[str, Any]:
     import numpy as np
     new = jax.tree_util.tree_map(lambda x: x, params)  # shallow-ish copy
     new["embed"] = dict(new["embed"])
-    new["embed"]["embedding"] = jnp.asarray(np.asarray(table))
+    # preserve the incoming storage dtype (bf16 under cfg.param_dtype diet)
+    new["embed"]["embedding"] = jnp.asarray(
+        np.asarray(table), dtype=params["embed"]["embedding"].dtype)
     return new

@@ -35,18 +35,22 @@ import optax
 
 class FusedAdamState(NamedTuple):
     """Adam moments + step count.  Frozen leaves hold ``optax.MaskedNode``
-    (an empty pytree — no HBM, nothing serialized)."""
+    (an empty pytree — no HBM, nothing serialized).  ``master`` holds f32
+    master copies for leaves stored in bf16 (``cfg.param_dtype=bfloat16``
+    mixed-precision diet) — MaskedNode everywhere else."""
 
     count: jnp.ndarray  # int32 scalar
     mu: Any
     nu: Any
+    master: Any = optax.MaskedNode()
 
 
 def _global_sq_norm(grads_and_masks) -> jnp.ndarray:
     """sum of squares over trainable leaves, optax.global_norm summation
-    order (python ``sum`` over tree_leaves order)."""
-    total = sum(jnp.sum(jnp.square(g)) for g, frozen in grads_and_masks
-                if not frozen)
+    order (python ``sum`` over tree_leaves order).  bf16 grads (mixed-
+    precision storage) are squared in f32; the cast is a no-op for f32."""
+    total = sum(jnp.sum(jnp.square(g.astype(jnp.float32)))
+                for g, frozen in grads_and_masks if not frozen)
     return total
 
 
@@ -60,16 +64,28 @@ class FusedClipAdam:
     """
 
     def __init__(self, grad_clip: float, frozen_fn, mu_dtype=jnp.float32,
-                 b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8):
+                 b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8,
+                 master_fn=None):
         self.grad_clip = float(grad_clip)
         self.frozen_fn = frozen_fn  # path -> bool (static, trace-time)
         self.mu_dtype = jnp.dtype(mu_dtype)
         self.b1 = float(b1)
         self.b2 = float(b2)
         self.eps = float(eps)
+        # path -> bool: leaf is STORED bf16 with an f32 master copy here
+        # (cfg.param_dtype="bfloat16"); None = pure-f32 storage, no masters
+        self.master_fn = master_fn
+
+    def _is_master(self, path) -> bool:
+        return (self.master_fn is not None and not self.frozen_fn(path)
+                and self.master_fn(path))
 
     # -- tx API used by TrainState.reset_optimizer / create_train_state ----
     def init(self, params) -> FusedAdamState:
+        """Call with FULL-PRECISION params (f32) — masters are snapshotted
+        from them.  ``TrainState.reset_optimizer`` preserves existing
+        masters across the phase-boundary Adam restart."""
+
         def zeros(path, p, dtype=None):
             if self.frozen_fn(path):
                 return optax.MaskedNode()
@@ -78,7 +94,22 @@ class FusedClipAdam:
         mu = jax.tree_util.tree_map_with_path(
             lambda pth, p: zeros(pth, p, self.mu_dtype), params)
         nu = jax.tree_util.tree_map_with_path(zeros, params)
-        return FusedAdamState(count=jnp.zeros([], jnp.int32), mu=mu, nu=nu)
+        master = jax.tree_util.tree_map_with_path(
+            lambda pth, p: (p.astype(jnp.float32) if self._is_master(pth)
+                            else optax.MaskedNode()), params)
+        return FusedAdamState(count=jnp.zeros([], jnp.int32), mu=mu, nu=nu,
+                              master=master)
+
+    def cast_params(self, params):
+        """Storage cast: bf16 for every leaf except the f32-consumed heads
+        (the compute already used bf16(param) for these leaves, so the
+        forward is value-identical; see train/state.py)."""
+        if self.master_fn is None:
+            return params
+        return jax.tree_util.tree_map_with_path(
+            lambda pth, p: (p.astype(jnp.bfloat16)
+                            if self._is_master(pth) or self.frozen_fn(pth)
+                            else p), params)
 
     # ----------------------------------------------------------------------
     def update_params(self, params, grads, state: FusedAdamState,
@@ -93,10 +124,15 @@ class FusedClipAdam:
         flat, treedef = jax.tree_util.tree_flatten_with_path(params)
         paths = [p for p, _ in flat]
         frozen = [bool(self.frozen_fn(p)) for p in paths]
+        mastered = [self._is_master(p) for p in paths]
         p_leaves = [x for _, x in flat]
         g_leaves = jax.tree_util.tree_leaves(grads)
-        mu_leaves, mu_def = _flatten_masked(state.mu)
-        nu_leaves, nu_def = _flatten_masked(state.nu)
+        mu_leaves, _ = _flatten_masked(state.mu)
+        nu_leaves, _ = _flatten_masked(state.nu)
+        ms_leaves, _ = _flatten_masked(state.master)
+        if len(ms_leaves) != len(p_leaves):
+            # legacy state built without the master field (bare MaskedNode)
+            ms_leaves = [optax.MaskedNode()] * len(p_leaves)
 
         # global norm over trainable leaves, optax summation order/formula
         g_norm = jnp.sqrt(_global_sq_norm(zip(g_leaves, frozen)))
@@ -107,14 +143,18 @@ class FusedClipAdam:
         bc1 = 1 - b1 ** count_inc  # weak f32, as optax bias_correction
         bc2 = 1 - b2 ** count_inc
 
-        new_p, new_mu, new_nu = [], [], []
-        for p, g, mu, nu, frz in zip(p_leaves, g_leaves, mu_leaves,
-                                     nu_leaves, frozen):
+        new_p, new_mu, new_nu, new_ms = [], [], [], []
+        for p, g, mu, nu, ms, frz, mst in zip(p_leaves, g_leaves, mu_leaves,
+                                              nu_leaves, ms_leaves, frozen,
+                                              mastered):
             if frz:
                 new_p.append(p)
                 new_mu.append(optax.MaskedNode())
                 new_nu.append(optax.MaskedNode())
+                new_ms.append(optax.MaskedNode())
                 continue
+            # mixed-precision leaves: bf16 grad -> f32 math on the master
+            g = g.astype(jnp.float32) if mst else g
             gc = jax.lax.select(
                 trigger, g, (g / g_norm.astype(g.dtype)) * clip)
             # moment EMAs exactly as optax.tree.update_moment (bf16 mu:
@@ -128,15 +168,22 @@ class FusedClipAdam:
             # sign symmetry of multiply keeps this bitwise equal to the
             # chain's lr * (-u) then p + (.)
             step = (lr * u.astype(jnp.float32)).astype(u.dtype)
-            new_p.append((p - step).astype(p.dtype))
+            if mst:
+                ms1 = ms - step
+                new_p.append(ms1.astype(p.dtype))
+                new_ms.append(ms1)
+            else:
+                new_p.append((p - step).astype(p.dtype))
+                new_ms.append(optax.MaskedNode())
             new_mu.append(mu32.astype(self.mu_dtype))
             new_nu.append(nu1)
 
-        params_out = jax.tree_util.tree_unflatten(treedef, new_p)
-        st = FusedAdamState(count=count_inc,
-                            mu=jax.tree_util.tree_unflatten(mu_def, new_mu),
-                            nu=jax.tree_util.tree_unflatten(nu_def, new_nu))
-        return params_out, st, g_norm
+        # unflatten over the params treedef: MaskedNode values land at leaf
+        # positions, reproducing exactly the structure init() builds
+        uf = lambda vals: jax.tree_util.tree_unflatten(treedef, vals)
+        st = FusedAdamState(count=count_inc, mu=uf(new_mu), nu=uf(new_nu),
+                            master=uf(new_ms))
+        return uf(new_p), st, g_norm
 
 
 def _flatten_masked(tree):

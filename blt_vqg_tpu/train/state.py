@@ -33,6 +33,16 @@ def _is_frozen_path(path) -> bool:
     return "encoder_cnn" in keys and "backbone" in keys
 
 
+def _is_f32_consumed_path(path) -> bool:
+    """Leaves whose module computes in f32 (the vocab heads,
+    models/iq.py:84-92 ``dtype=jnp.float32``) — these stay f32 under the
+    ``param_dtype="bfloat16"`` mixed-precision diet, because bf16 storage
+    WOULD change their math.  Every other module computes in bf16, so it
+    sees bf16(param) either way and the forward is value-identical."""
+    keys = [getattr(p, "key", None) for p in path]
+    return "output_proj" in keys or "z_classifier" in keys
+
+
 def make_optimizer(cfg: Config, params: Any):
     """Clip + Adam moments; the Noam LR is applied in ``apply_gradients``
     from the GLOBAL step (exactly the reference's per-step param_group poke,
@@ -45,10 +55,21 @@ def make_optimizer(cfg: Config, params: Any):
     passes — bit-parity-tested against the chain, which remains available
     via ``cfg.fused_adam=False``."""
     mu_dtype = jnp.dtype(getattr(cfg, "adam_mu_dtype", "float32"))
+    mixed = jnp.dtype(getattr(cfg, "param_dtype", "float32")) == jnp.bfloat16
     if getattr(cfg, "fused_adam", True):
         from blt_vqg_tpu.train.fused_adam import FusedClipAdam
-        return FusedClipAdam(cfg.grad_clip, _is_frozen_path,
-                             mu_dtype=mu_dtype)
+        # param_dtype="bfloat16": store params bf16, keep an f32 master in
+        # the optimizer for every bf16-stored trainable leaf; the f32-
+        # consumed vocab heads stay f32 (forward stays value-identical —
+        # only grad/optimizer precision changes).  HBM diet: halves the
+        # param reads of fwd+bwd and the grad write/read.
+        return FusedClipAdam(
+            cfg.grad_clip, _is_frozen_path, mu_dtype=mu_dtype,
+            master_fn=((lambda p: not _is_f32_consumed_path(p)) if mixed
+                       else None))
+    if mixed:
+        raise ValueError("param_dtype='bfloat16' requires fused_adam=True "
+                         "(the optax chain has no f32 master copy)")
     label = jax.tree_util.tree_map_with_path(
         lambda path, _: "frozen" if _is_frozen_path(path) else "train", params)
     trainable = optax.chain(
@@ -106,14 +127,26 @@ class TrainState(struct.PyTreeNode):
         return new_state, gnorm
 
     def reset_optimizer(self) -> "TrainState":
-        """Adam restart at the pretrain→latent phase boundary."""
-        return self.replace(opt_state=self.tx.init(self.params))
+        """Adam restart at the pretrain→latent phase boundary.  Mixed-
+        precision masters survive the restart (only the moments reset) —
+        re-deriving them from bf16 storage would drop accumulated
+        precision."""
+        from blt_vqg_tpu.train.fused_adam import FusedAdamState
+        new_opt = self.tx.init(self.params)
+        if (isinstance(new_opt, FusedAdamState)
+                and isinstance(self.opt_state, FusedAdamState)):
+            new_opt = new_opt._replace(master=self.opt_state.master)
+        return self.replace(opt_state=new_opt)
 
 
 def create_train_state(cfg: Config, model, rng: jax.Array,
-                       sample_batch: dict) -> TrainState:
+                       sample_batch: dict, glove_table=None) -> TrainState:
     """Initializes params (through the FULL latent path so both phases share
-    one pytree) and the optimizer."""
+    one pytree) and the optimizer.
+
+    ``glove_table`` applies the GloVe embedding surgery (reference
+    iq.py:57-74) BEFORE the optimizer snapshot, so mixed-precision f32
+    masters are built from the final full-precision values."""
     init_rngs = {"params": rng,
                  "latent": jax.random.fold_in(rng, 1),
                  "dropout": jax.random.fold_in(rng, 2)}
@@ -131,13 +164,19 @@ def create_train_state(cfg: Config, model, rng: jax.Array,
         sample_batch["posterior"], sample_batch["target"])
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
+    if glove_table is not None:
+        from blt_vqg_tpu.models.iq import apply_glove_table
+        params = apply_glove_table(params, glove_table)
     tx = make_optimizer(cfg, params)
+    opt_state = tx.init(params)  # masters snapshot the f32 params
+    if hasattr(tx, "cast_params"):
+        params = tx.cast_params(params)  # bf16 storage (no-op for f32 cfg)
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         kliter=jnp.zeros((), jnp.int32),
         params=params,
         batch_stats=batch_stats,
-        opt_state=tx.init(params),
+        opt_state=opt_state,
         tx=tx,
         apply_fn=model.apply,
         lr_fn=noam_schedule(cfg.hidden_dim, cfg.warmup_steps),

@@ -148,12 +148,11 @@ class Trainer:
         sample_batch = dict(sample_batch)
         sample_batch["images"] = self.augment_eval(
             sample_batch["images"], self.rngs.key(0))
+        # glove surgery happens inside create_train_state, BEFORE the
+        # optimizer snapshots mixed-precision masters
         state = create_train_state(
-            self.cfg, self.model, jax.random.key(self.cfg.seed), sample_batch)
-        if glove_table is not None:
-            from blt_vqg_tpu.models.iq import apply_glove_table
-            state = state.replace(
-                params=apply_glove_table(state.params, glove_table))
+            self.cfg, self.model, jax.random.key(self.cfg.seed), sample_batch,
+            glove_table=glove_table)
         if resume and self.ckpt.latest_step() is not None:
             state = self.ckpt.restore(state)
             log.info("resumed from step %d", int(state.step))

@@ -122,6 +122,152 @@ class TestSyntheticParity:
                                    rtol=1e-6)
 
 
+class TestMixedPrecision:
+    """cfg.param_dtype='bfloat16': bf16 parameter storage with f32 Adam
+    masters (train/fused_adam.py).  The forward must be VALUE-IDENTICAL to
+    f32 storage (compute was already bf16); only grad/update precision
+    changes."""
+
+    def _batch(self, cfg, vocab_size):
+        r = np.random.RandomState(0)
+        b = cfg.batch_size
+        return {
+            "images": r.rand(b, cfg.image_size, cfg.image_size, 3
+                             ).astype(np.float32),
+            "context": r.randint(1, vocab_size,
+                                 (b, cfg.max_context_len)).astype(np.int32),
+            "posterior": r.randint(1, vocab_size,
+                                   (b, cfg.max_posterior_len)).astype(np.int32),
+            "target": r.randint(1, vocab_size,
+                                (b, cfg.max_q_length)).astype(np.int32),
+        }
+
+    def _states(self, tiny_cfg, vocab_size):
+        from blt_vqg_tpu.models.iq import IQ
+        from blt_vqg_tpu.train.state import create_train_state
+        batch = self._batch(tiny_cfg, vocab_size)
+        out = {}
+        for pd in ("float32", "bfloat16"):
+            cfg = tiny_cfg.replace(param_dtype=pd, dtype="bfloat16")
+            model = IQ(cfg, vocab_size)
+            out[pd] = (cfg, model,
+                       create_train_state(cfg, model, jax.random.key(0),
+                                          batch))
+        return batch, out
+
+    def test_storage_dtypes_and_masters(self, tiny_cfg, vocab_size):
+        _, states = self._states(tiny_cfg, vocab_size)
+        cfg, _, st = states["bfloat16"]
+        p = st.params
+        assert p["decoder"]["layer_0"]["self_attn"]["q_proj"]["kernel"].dtype \
+            == jnp.bfloat16
+        assert p["embed"]["embedding"].dtype == jnp.bfloat16
+        # f32-consumed vocab heads keep f32 storage
+        assert p["output_proj"]["kernel"].dtype == jnp.float32
+        assert p["z_classifier"]["kernel"].dtype == jnp.float32
+        # frozen backbone stored bf16, no master
+        assert p["encoder_cnn"]["backbone"]["stem_conv"]["kernel"].dtype \
+            == jnp.bfloat16
+        import optax
+        ms = st.opt_state.master
+        assert isinstance(ms["encoder_cnn"]["backbone"]["stem_conv"]["kernel"],
+                          optax.MaskedNode)
+        assert isinstance(ms["output_proj"]["kernel"], optax.MaskedNode)
+        emb_master = ms["embed"]["embedding"]
+        assert emb_master.dtype == jnp.float32
+        # params are the bf16 image of the master
+        np.testing.assert_array_equal(
+            np.asarray(p["embed"]["embedding"], np.float32),
+            np.asarray(emb_master.astype(jnp.bfloat16), np.float32))
+
+    def test_forward_value_identical(self, tiny_cfg, vocab_size):
+        batch, states = self._states(tiny_cfg, vocab_size)
+        outs = {}
+        for pd, (cfg, model, st) in states.items():
+            logits, _, _, _ = model.apply(
+                {"params": st.params, "batch_stats": st.batch_stats},
+                batch["images"], batch["context"], batch["posterior"],
+                batch["target"], latent_mode=True, train=False,
+                rngs={"latent": jax.random.key(7)})
+            outs[pd] = np.asarray(logits, np.float32)
+        np.testing.assert_array_equal(outs["float32"], outs["bfloat16"])
+
+    def test_training_tracks_f32_run(self, tiny_cfg, vocab_size):
+        from blt_vqg_tpu.train.step import make_train_step
+        batch, states = self._states(tiny_cfg, vocab_size)
+        finals = {}
+        for pd, (cfg, model, st) in states.items():
+            step = make_train_step(cfg, latent_mode=True)
+            for i in range(3):
+                st, m = step(st, batch, jax.random.key(i))
+            assert np.isfinite(float(m["loss"]))
+            finals[pd] = (st, float(m["loss"]))
+        np.testing.assert_allclose(finals["bfloat16"][1], finals["float32"][1],
+                                   rtol=2e-2)
+        st_mp = finals["bfloat16"][0]
+        # master moved and params remain its bf16 image
+        emb = np.asarray(st_mp.params["embed"]["embedding"], np.float32)
+        ms = st_mp.opt_state.master["embed"]["embedding"]
+        np.testing.assert_array_equal(
+            emb, np.asarray(ms.astype(jnp.bfloat16), np.float32))
+
+    def test_reset_preserves_master(self, tiny_cfg, vocab_size):
+        from blt_vqg_tpu.train.step import make_train_step
+        batch, states = self._states(tiny_cfg, vocab_size)
+        cfg, model, st = states["bfloat16"]
+        step = make_train_step(cfg, latent_mode=True)
+        for i in range(2):
+            st, _ = step(st, batch, jax.random.key(i))
+        before = np.asarray(st.opt_state.master["embed"]["embedding"])
+        reset = st.reset_optimizer()
+        assert int(reset.opt_state.count) == 0
+        np.testing.assert_array_equal(
+            np.asarray(reset.opt_state.master["embed"]["embedding"]), before)
+
+    def test_checkpoint_roundtrip_with_master(self, tmp_path, tiny_cfg,
+                                              vocab_size):
+        from blt_vqg_tpu.core.checkpoint import CheckpointManager
+        from blt_vqg_tpu.models.iq import IQ
+        from blt_vqg_tpu.train.state import create_train_state
+        from blt_vqg_tpu.train.step import make_train_step
+        cfg = tiny_cfg.replace(param_dtype="bfloat16", dtype="bfloat16")
+        model = IQ(cfg, vocab_size)
+        batch = self._batch(cfg, vocab_size)
+        st = create_train_state(cfg, model, jax.random.key(0), batch)
+        step = make_train_step(cfg, latent_mode=False)
+        st, _ = step(st, batch, jax.random.key(0))
+        mgr = CheckpointManager(str(tmp_path), keep=2)
+        mgr.save(st, cfg)
+        template = create_train_state(cfg, model, jax.random.key(0), batch)
+        restored = mgr.restore(template)
+        np.testing.assert_array_equal(
+            np.asarray(restored.opt_state.master["embed"]["embedding"]),
+            np.asarray(st.opt_state.master["embed"]["embedding"]))
+        assert restored.params["embed"]["embedding"].dtype == jnp.bfloat16
+
+    def test_requires_fused(self, tiny_cfg):
+        from blt_vqg_tpu.train.state import make_optimizer
+        with pytest.raises(ValueError, match="fused_adam"):
+            make_optimizer(tiny_cfg.replace(param_dtype="bfloat16",
+                                            fused_adam=False),
+                           {"w": jnp.ones((2,))})
+
+    def test_glove_masters_full_precision(self, tiny_cfg, vocab_size):
+        from blt_vqg_tpu.models.iq import IQ
+        from blt_vqg_tpu.train.state import create_train_state
+        cfg = tiny_cfg.replace(param_dtype="bfloat16", dtype="bfloat16")
+        model = IQ(cfg, vocab_size)
+        batch = self._batch(cfg, vocab_size)
+        table = np.random.RandomState(3).randn(vocab_size, cfg.emb_dim
+                                               ).astype(np.float32)
+        st = create_train_state(cfg, model, jax.random.key(0), batch,
+                                glove_table=table)
+        # master snapshots the FULL-precision glove values
+        np.testing.assert_array_equal(
+            np.asarray(st.opt_state.master["embed"]["embedding"]), table)
+        assert st.params["embed"]["embedding"].dtype == jnp.bfloat16
+
+
 class TestModelParity:
     """End-to-end: the real train step with cfg.fused_adam on/off produces
     identical parameters, metrics, and grad-norm telemetry."""
