@@ -32,7 +32,7 @@ BATCH = 64
 IMAGE = 224
 WARMUP = 3
 TIMED = 50
-REPEATS = 3  # best-of-N: the TPU tunnel adds heavy host-side jitter
+REPEATS = 5  # median-of-N: the TPU tunnel adds two-sided slope jitter
 
 
 def log(*a):
@@ -55,9 +55,14 @@ def _slope_time(run_k, k1: int, k2: int, repeats: int = REPEATS) -> float:
     round trip appears in both measurements and cancels — unlike
     block_until_ready, which this image's tunneled backend does not honor
     (it returns before device completion; verified by impossible >1 PFLOP/s
-    readings without a readback)."""
+    readings without a readback).
+
+    MEDIAN of the repeats, not min: tunnel jitter hitting the SMALL run
+    inflates t(k1) and yields a bogus-LOW slope (observed: "5 ms" steps
+    under the 8.4 ms compute roofline), so a min-estimator cherry-picks
+    corrupted samples.  See benchmarks/METHODOLOGY.md."""
     run_k(1)  # warm
-    best = None
+    ests = []
     for _ in range(repeats):
         t0 = time.time()
         run_k(k1)
@@ -65,9 +70,9 @@ def _slope_time(run_k, k1: int, k2: int, repeats: int = REPEATS) -> float:
         t0 = time.time()
         run_k(k2)
         t2 = time.time() - t0
-        cand = (t2 - t1) / (k2 - k1)
-        best = cand if best is None else min(best, cand)
-    return max(best, 1e-9)
+        ests.append((t2 - t1) / (k2 - k1))
+    ests.sort()
+    return max(ests[len(ests) // 2], 1e-9)
 
 
 def bench_jax() -> dict:

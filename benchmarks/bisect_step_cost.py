@@ -40,15 +40,22 @@ def _cost(jitted, *args):
             "gbytes": round(ca.get("bytes accessed", 0) / 1e9, 3)}
 
 
-def _slope(run_k, k1=5, k2=25, repeats=3):
+def _slope(run_k, k1=5, k2=25, repeats=5):
+    """Median-of-N slope (benchmarks/METHODOLOGY.md round-3 correction).
+
+    CAVEAT for the sub-programs here: their run_k reads back EVERY call
+    (each iteration pays the serialized tunnel round trip), so their "ms"
+    overstates device time by a constant ~25-35 ms; the full_step loop
+    pipelines and is accurate.  cost_analysis bytes are the primary
+    signal of this script."""
     run_k(1)
-    best = None
+    ests = []
     for _ in range(repeats):
         t0 = time.time(); run_k(k1); t1 = time.time() - t0
         t0 = time.time(); run_k(k2); t2 = time.time() - t0
-        cand = (t2 - t1) / (k2 - k1)
-        best = cand if best is None else min(best, cand)
-    return max(best, 1e-9)
+        ests.append((t2 - t1) / (k2 - k1))
+    ests.sort()
+    return max(ests[len(ests) // 2], 1e-9)
 
 
 def main():

@@ -45,15 +45,17 @@ def _cost(compiled):
             "gbytes": ca.get("bytes accessed", 0) / 1e9}
 
 
-def _slope_time(run_k, k1=5, k2=25, repeats=3):
+def _slope_time(run_k, k1=5, k2=25, repeats=5):
+    """Median-of-N slope (NOT min — see benchmarks/METHODOLOGY.md: jitter
+    on the small run yields bogus-low slopes that min() cherry-picks)."""
     run_k(1)
-    best = None
+    ests = []
     for _ in range(repeats):
         t0 = time.time(); run_k(k1); t1 = time.time() - t0
         t0 = time.time(); run_k(k2); t2 = time.time() - t0
-        cand = (t2 - t1) / (k2 - k1)
-        best = cand if best is None else min(best, cand)
-    return max(best, 1e-9)
+        ests.append((t2 - t1) / (k2 - k1))
+    ests.sort()
+    return max(ests[len(ests) // 2], 1e-9)
 
 
 def main():

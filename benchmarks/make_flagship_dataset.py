@@ -122,12 +122,12 @@ def main():
     t0 = time.time()
     timings = {}
 
-    # vocabulary material: question words + per-category answers
-    q_words = make_word_list(args.vocab_words, seed=0)
-    a_words = make_word_list(args.num_cats * 40 + args.num_cats, seed=7)
-    # answers must not collide with question words (distinct seeds can
-    # still collide — filter)
-    a_words = [w for w in a_words if w not in set(q_words)]
+    # vocabulary material: one disjoint partition — question words, then
+    # per-category answers (a separate seed would collide with q_words)
+    n_ans = args.num_cats * 40
+    all_words = make_word_list(args.vocab_words + n_ans, seed=0)
+    q_words = all_words[:args.vocab_words]
+    a_words = all_words[args.vocab_words:]
     cats = [f"cat{i}" for i in range(args.num_cats)]
     answers_by_cat = {c: a_words[i * 40:(i + 1) * 40]
                       for i, c in enumerate(cats)}
