@@ -18,9 +18,11 @@ ecosystem interop — behind the identical manager API.  The npz format:
   casting float params on the way out (restore casts back to the template
   dtype) — for the tunneled/slow-disk case;
 - ``save_sharded``/``restore_sharded``: each host writes only its
-  addressable array shards (``shard_h{proc}.npz`` + slice metadata), so a
-  multihost job never funnels the full state through one host; restore
-  reassembles the global state from the union of shard files.
+  addressable array shards, so a multihost job never funnels the full
+  state through one host.  npz backend: ``shard_h{proc}.npz`` + slice
+  metadata per host, restore reassembles from the union of shard files.
+  orbax backend: collective StandardSave/StandardRestore into one
+  tensorstore (multihost and ecosystem-interop compose).
 """
 
 from __future__ import annotations
@@ -305,14 +307,29 @@ class CheckpointManager:
             shutil.rmtree(self._step_dir(step), ignore_errors=True)
 
     # -- sharded (per-host) save / restore ------------------------------
+    @staticmethod
+    def _barrier(tag: str) -> None:
+        """Cross-process sync point (no-op single-process)."""
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            multihost_utils.sync_global_devices(tag)
+
     def save_sharded(self, state, cfg: Optional[Config] = None) -> str:
         """Multihost checkpoint write: THIS process writes only the array
-        shards it can address (``jax.Array.addressable_shards``) to
-        ``shard_h{process_index}.npz`` — no host ever funnels the full
-        state, and hosts write concurrently.  Replicated leaves are
-        deduplicated by slice, so each host stores one copy of what it
-        holds; the union of all hosts' files covers every element
-        (``restore_sharded`` verifies)."""
+        shards it can address (``jax.Array.addressable_shards``) —
+        no host ever funnels the full state, and hosts write concurrently.
+
+        ``backend="npz"``: each host writes ``shard_h{process_index}.npz``
+        with slice metadata; replicated leaves are deduplicated by slice,
+        so each host stores one copy of what it holds, and the union of
+        all hosts' files covers every element (``restore_sharded``
+        verifies).  ``backend="orbax"``: every process calls into Orbax's
+        natively multihost StandardSave — each process streams only its
+        addressable shards into one tensorstore under ``step_N/orbax``
+        (the ecosystem-interop format and the multihost path compose);
+        the call is synchronous (all hosts fence on completion)."""
+        if self.backend == "orbax":
+            return self._save_sharded_orbax(state, cfg)
         step = int(state.step)
         path = self._step_dir(step)
         os.makedirs(path, exist_ok=True)
@@ -338,23 +355,78 @@ class CheckpointManager:
             self._gc()
         return path
 
+    def _save_sharded_orbax(self, state, cfg: Optional[Config]) -> str:
+        """Orbax multihost save: ALL processes must call this (it is a
+        collective).  Process 0 owns the directory/sidecar/GC work; the
+        shard streaming itself is Orbax/tensorstore's distributed write,
+        where each process contributes exactly its addressable shards."""
+        self.wait()
+        step = int(state.step)
+        path = self._step_dir(step)
+        proc = jax.process_index()
+        if proc == 0:
+            os.makedirs(path, exist_ok=True)
+            if cfg is not None:
+                with open(os.path.join(path, "args.json"), "w") as f:
+                    f.write(cfg.to_json())
+            dst = os.path.join(path, "orbax")
+            if os.path.exists(dst):   # same-step re-save overwrites
+                shutil.rmtree(dst)
+        # nobody starts streaming before p0 has prepared the directory
+        self._barrier(f"ckpt_sharded_save_pre_{step}")
+        self._orbax.save(
+            os.path.abspath(os.path.join(path, "orbax")),
+            args=self._ocp.args.StandardSave(self._state_tree(state)))
+        # multihost sharded saves are synchronous: a host returning while
+        # another still streams would let callers tear down the mesh early
+        self._orbax.wait_until_finished()
+        if proc == 0:
+            self._gc()
+        self._barrier(f"ckpt_sharded_save_post_{step}")
+        return path
+
     def restore_sharded(self, state, step: Optional[int] = None):
-        """Reassembles a sharded checkpoint from the union of all hosts'
-        shard files (they must all be visible, e.g. on shared storage).
-        Returns a new TrainState shaped like the ``state`` template."""
+        """Reassembles a sharded checkpoint.  npz backend: from the union
+        of all hosts' shard files (they must all be visible, e.g. on
+        shared storage).  orbax backend: collective StandardRestore — each
+        process reads only the shards the ``state`` template's shardings
+        assign to it.  Returns a new TrainState shaped like ``state``."""
+        self.wait()
         step = step if step is not None else self.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoints in {self.directory}")
+        if self.backend == "orbax":
+            # the template's leaves carry their NamedShardings, so the
+            # single-store restore path already reads shard-locally
+            return self._restore_orbax(state, step)
         path = self._step_dir(step)
         files = sorted(f for f in os.listdir(path)
                        if _SHARD_RE.match(f))
         if not files:
             raise FileNotFoundError(f"no shard files in {path}")
+        # Merge all hosts' files.  Each host numbers ITS chunks from @0, so
+        # the same key can appear in several files holding DIFFERENT
+        # slices — re-key every chunk (and its __idx__/__dtype__ sidecars)
+        # with a globally unique suffix instead of first-file-wins.
         flat: dict = {}
+        chunk_re = re.compile(r"^(.*)@(\d+)$")
+        counter = 0
         for f in files:
             with np.load(os.path.join(path, f), allow_pickle=False) as z:
-                for k in z.files:
-                    flat.setdefault(k, z[k])
+                names = set(z.files)
+                for k in sorted(names):
+                    if k.startswith("__idx__/") or k.startswith("__dtype__/"):
+                        continue  # carried along with their chunk below
+                    m = chunk_re.match(k)
+                    if not m:
+                        flat.setdefault(k, z[k])   # __step__ / __kliter__
+                        continue
+                    nk = f"{m.group(1)}@{counter}"
+                    counter += 1
+                    flat[nk] = z[k]
+                    flat["__idx__/" + nk] = z["__idx__/" + k]
+                    if "__dtype__/" + k in names:
+                        flat["__dtype__/" + nk] = z["__dtype__/" + k]
 
         def assemble(template, prefix):
             paths = jax.tree_util.tree_flatten_with_path(template)
@@ -389,7 +461,15 @@ class CheckpointManager:
                     raise ValueError(
                         f"leaf {key}: shards cover {covered}/{want} elements"
                         " — missing a host's shard file?")
-                leaves.append(out.astype(leaf.dtype).reshape(shape))
+                arr = out.astype(leaf.dtype).reshape(shape)
+                if isinstance(leaf, jax.Array):
+                    # hand the assembled host-global array back under the
+                    # TEMPLATE's sharding, so the restored state is directly
+                    # usable in a pjit step (and matches the orbax backend's
+                    # contract); each host materializes only its shards
+                    arr = jax.make_array_from_callback(
+                        shape, leaf.sharding, lambda idx, a=arr: a[idx])
+                leaves.append(arr)
             return jax.tree_util.tree_unflatten(paths[1], leaves)
 
         return state.replace(

@@ -92,3 +92,63 @@ gbatch = host_local_batch_to_global(local_batch, mesh)
 step = make_train_step(cfg, latent_mode=True, mesh=mesh)
 state, m = step(state, gbatch, jax.random.key(1))
 print(f"[p{pid}] MP TRAIN STEP loss = {float(m['loss']):.6f}", flush=True)
+
+# --- sharded checkpoint round-trip across the process boundary ---------
+# A mesh whose MODEL axis spans the two processes: column j is process
+# j's devices, so a P(None, "model") kernel has one half on each host and
+# save_sharded genuinely needs both hosts' writes (npz: union of
+# shard_h{j}.npz files; orbax: collective StandardSave into one store).
+if len(sys.argv) > 4:
+    ckroot = sys.argv[4]
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from blt_vqg_tpu.core.checkpoint import CheckpointManager
+    from blt_vqg_tpu.train.state import TrainState
+
+    devs = sorted(jax.devices(), key=lambda d: d.id)
+    perproc = [[d for d in devs if d.process_index == j]
+               for j in range(nprocs)]
+    cross = Mesh(np.array([[perproc[j][i] for j in range(nprocs)]
+                           for i in range(4)]), ("data", "model"))
+
+    def put(arr, spec):
+        return jax.make_array_from_callback(
+            arr.shape, NamedSharding(cross, spec), lambda idx: arr[idx])
+
+    kernel = np.arange(16 * 8, dtype=np.float32).reshape(16, 8)
+    bias = np.arange(8, dtype=np.float32)
+
+    def make_state(fill):
+        return TrainState(
+            step=jnp.asarray(7, jnp.int32), kliter=jnp.asarray(3, jnp.int32),
+            params={"dense": {"kernel": put(kernel * fill, P(None, "model")),
+                              "bias": put(bias * fill, P())}},
+            batch_stats={"bn": {"mean": put(bias * fill, P())}},
+            opt_state={"count": put(np.asarray(5, np.int32), P()),
+                       "mu": {"kernel": put(
+                           (kernel * fill).astype(jnp.bfloat16),
+                           P(None, "model"))}},
+            tx=None, apply_fn=None, lr_fn=None)
+
+    for backend in ("npz", "orbax"):
+        mgr = CheckpointManager(os.path.join(ckroot, backend),
+                                backend=backend)
+        mgr.save_sharded(make_state(1.0))
+        mgr._barrier(f"{backend}_saved")  # npz: all shard files on disk
+        restored = mgr.restore_sharded(make_state(0.0))
+        assert int(restored.step) == 7 and int(restored.kliter) == 3
+        flat_want = jax.tree_util.tree_leaves_with_path(
+            {"params": make_state(1.0).params,
+             "opt": make_state(1.0).opt_state,
+             "bn": make_state(1.0).batch_stats})
+        flat_got = jax.tree_util.tree_leaves_with_path(
+            {"params": restored.params, "opt": restored.opt_state,
+             "bn": restored.batch_stats})
+        for (pw, want), (pg, got) in zip(flat_want, flat_got):
+            assert got.dtype == want.dtype, (pw, got.dtype, want.dtype)
+            gots = {tuple(str(s) for s in sh.index): np.asarray(sh.data)
+                    for sh in got.addressable_shards}
+            for sh in want.addressable_shards:
+                np.testing.assert_array_equal(
+                    gots[tuple(str(s) for s in sh.index)],
+                    np.asarray(sh.data), err_msg=str(pw))
+        print(f"[p{pid}] MP SHARDED CKPT {backend} OK", flush=True)

@@ -33,14 +33,15 @@ def _free_port() -> int:
 
 @pytest.mark.e2e
 class TestTwoProcessTrainStep:
-    def test_losses_match_across_processes_and_oracle(self):
+    def test_losses_match_across_processes_and_oracle(self, tmp_path):
         port = _free_port()
         env = {k: v for k, v in os.environ.items()
                if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
         env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
         procs = [
             subprocess.Popen(
-                [sys.executable, WORKER, str(i), "2", str(port)],
+                [sys.executable, WORKER, str(i), "2", str(port),
+                 str(tmp_path / "ckpt")],
                 stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
                 text=True, env=env)
             for i in range(2)
@@ -52,6 +53,10 @@ class TestTwoProcessTrainStep:
         for i, (p, out) in enumerate(zip(procs, outs)):
             assert p.returncode == 0, f"process {i} failed:\n{out[-3000:]}"
             assert f"[p{i}] MP STITCH OK" in out, out[-2000:]
+            # cross-process-sharded checkpoint round-trip, both backends
+            # (model axis spans the process boundary in the worker)
+            assert f"[p{i}] MP SHARDED CKPT npz OK" in out, out[-2000:]
+            assert f"[p{i}] MP SHARDED CKPT orbax OK" in out, out[-2000:]
 
         losses = []
         for i, out in enumerate(outs):

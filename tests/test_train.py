@@ -399,6 +399,50 @@ class TestCheckpoint:
             jnp.dtype(jnp.bfloat16)
         assert int(restored.opt_state["count"]) == 5
 
+    def test_sharded_save_restore_orbax(self, tmp_path, eight_devices):
+        """backend='orbax' sharded round-trip: collective StandardSave
+        into one tensorstore; restore reads shard-locally through the
+        template's NamedShardings (single process addressing the whole
+        4x2 mesh here; the true cross-process case runs in
+        tests/test_multiprocess.py)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from blt_vqg_tpu.core.checkpoint import CheckpointManager
+        from blt_vqg_tpu.parallel.mesh import build_mesh
+        from blt_vqg_tpu.train.state import TrainState
+
+        mesh = build_mesh((4, 2))
+        kernel = jnp.arange(16 * 8, dtype=jnp.float32).reshape(16, 8)
+        bias = jnp.arange(8, dtype=jnp.float32)
+        sharded = lambda a, spec: jax.device_put(
+            a, NamedSharding(mesh, spec))
+        make = lambda fill: TrainState(
+            step=jnp.asarray(5, jnp.int32), kliter=jnp.asarray(2, jnp.int32),
+            params={"dense": {
+                "kernel": sharded(kernel * fill, P(None, "model")),
+                "bias": sharded(bias * fill, P())}},
+            batch_stats={"bn": {"mean": sharded(bias * fill, P())}},
+            opt_state={"count": jnp.asarray(5, jnp.int32),
+                       "mu": {"kernel": sharded(
+                           (kernel * fill).astype(jnp.bfloat16),
+                           P(None, "model"))}},
+            tx=None, apply_fn=None, lr_fn=None)
+
+        mgr = CheckpointManager(str(tmp_path / "ckpt"), backend="orbax")
+        path = mgr.save_sharded(make(1.0))
+        assert os.path.isdir(os.path.join(path, "orbax"))
+        restored = mgr.restore_sharded(make(0.0))
+        assert int(restored.step) == 5 and int(restored.kliter) == 2
+        np.testing.assert_array_equal(
+            np.asarray(restored.params["dense"]["kernel"]),
+            np.asarray(kernel))
+        got = restored.opt_state["mu"]["kernel"]
+        assert got.dtype == jnp.dtype(jnp.bfloat16)
+        np.testing.assert_array_equal(
+            np.asarray(got.astype(jnp.float32)), np.asarray(kernel))
+        # the restored kernel keeps the template's model-axis sharding
+        assert restored.params["dense"]["kernel"].sharding.is_equivalent_to(
+            NamedSharding(mesh, P(None, "model")), 2)
+
     def test_sharded_restore_detects_missing_coverage(self, tmp_path,
                                                       eight_devices):
         """A missing host's shard file must fail loudly, not restore
