@@ -89,6 +89,10 @@ class Config:
                                       # ops instead of ~15 XLA ops on the
                                       # latency-bound serial decode chain
                                       # (ops/pallas/decode_layer.py)
+    use_stream_decode: bool = False   # whole-stack streaming decode: ONE
+                                      # Pallas kernel for all layers, weights
+                                      # and KV cache pipelined HBM->VMEM
+                                      # (ops/pallas/decode_stream.py)
     remat: bool = False               # jax.checkpoint the transformer blocks
     seed: int = 0
     image_size: int = 224
@@ -304,6 +308,7 @@ def add_config_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     parser.add_argument("--checkpoint_backend", type=str, default="npz",
                         choices=("npz", "orbax"))
     parser.add_argument("--use_pallas_decode", action="store_true")
+    parser.add_argument("--use_stream_decode", action="store_true")
     parser.add_argument("--tie_output_z", action="store_true")
     parser.add_argument("--num_seq_shards", type=int, default=1,
                         help="size of the 'seq' mesh axis (with "

@@ -80,6 +80,7 @@ class IQ(nn.Module):
             **enc_kw, max_decode_len=max(cfg.max_decode_length + 1,
                                          cfg.max_target_len),
             use_pallas_decode=cfg.use_pallas_decode,
+            use_stream_decode=cfg.use_stream_decode,
             name="decoder")
         self.output_proj = nn.Dense(self.vocab_size, dtype=jnp.float32,
                                     name="output_proj")

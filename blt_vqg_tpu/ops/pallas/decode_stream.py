@@ -1,0 +1,288 @@
+"""Cross-layer streaming decode step (Pallas): the whole decoder stack in
+ONE kernel, weights double-buffered HBM→VMEM.
+
+Greedy decode at small batch is bound by the ~200 MB of HBM traffic a
+flagship step must move (6 layers × ~20 MB weights + ~13 MB KV-cache
+reads, benchmarks/METHODOLOGY.md): the XLA op stream and even the 2-kernel
+per-layer fusion (ops/pallas/decode_layer.py, measured 0.91× XLA) pay a
+fetch-then-compute serialization per op because single-program
+``pallas_call``s do not overlap their input DMA with compute.  This kernel
+runs ALL layers as one program with grid ``(num_layers, S)`` where the
+``S`` per-layer stages are
+
+- ``H`` self-attention stages (one head each: fused-QKV column slice,
+  cached attention, accumulated out-projection),
+- ``Hc`` cross-attention stages (head groups over the tiny precomputed
+  encoder K/V),
+- ``Fc`` FFN stages (column/row chunks of the two FFN matmuls),
+
+so every grid step touches only ~0.5-2 MB of weights/cache and Pallas's
+automatic block pipelining fetches stage ``i+1``'s blocks during stage
+``i``'s compute — continuous DMA at close to the HBM roofline.  The
+activation (``[B, D]``) rides across stages in VMEM scratch; per-stage
+index maps "hold" their last block outside their phase so nothing is
+refetched, and next-layer fetches are staggered across the current layer's
+early stages.
+
+The kernel does NOT write the KV cache in place: it emits the current
+position's K/V (``[L, H, B, Dh]``) and the caller inserts them with one
+``dynamic_update_slice`` (XLA updates donated buffers in place), keeping
+cache write traffic at one position instead of whole-block writebacks.
+Attention therefore treats the current position specially: cached scores
+are masked at ``index >= pos`` and the in-register K/V supply position
+``pos`` — exactly the XLA step's visible set (ops/attention.py step).
+
+Semantics parity target: ops/transformer.py ``DecoderLayer.step`` /
+``TransformerDecoder.step`` (timing signal and final LN stay outside).
+Replaces the reference's per-step full-prefix re-encode hot loop
+(reference iq.py:134-143) at the whole-stack kernel level.  Runs in
+interpret mode off-TPU so CPU tests exercise the same code.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from blt_vqg_tpu.ops.masks import MASK_FILL
+
+# future cache slots get a strictly lower fill than pad-masked keys, same
+# constant as the XLA decode step (ops/attention.py:194)
+FUTURE_FILL = 1e3 * MASK_FILL
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _layernorm(x, scale, bias, eps=1e-6):
+    x = x.astype(jnp.float32)
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * scale + bias
+
+
+def _dot(a, b):
+    return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _stream_kernel(pos_ref, x_in_ref, lns_ref, wqkv_ref, wout_ref,
+                   kc_ref, vc_ref, wqc_ref, woc_ref, ckc_ref, cvc_ref,
+                   smask_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                   xout_ref, knew_ref, vnew_ref,
+                   x_sc, acc_sc,
+                   *, nh: int, hc: int, fc: int, head_dim: int, dtype):
+    l = pl.program_id(0)
+    s = pl.program_id(1)
+    nstage = nh + hc + fc
+    pos = pos_ref[0]
+    scale = head_dim ** -0.5
+
+    # ---- self-attention stage (one head) ------------------------------
+    @pl.when(s < nh)
+    def _self_stage():
+        @pl.when((l == 0) & (s == 0))
+        def _():
+            x_sc[:] = x_in_ref[:]
+
+        x = x_sc[:].astype(jnp.float32)
+        xn = _layernorm(x, lns_ref[0, 0], lns_ref[0, 1])
+        qkv = _dot(xn.astype(dtype), wqkv_ref[0, 0])        # [B, 3*Dh] f32
+        # round-trip through ``dtype``: the XLA step's fused QKV GEMM
+        # produces (and caches) dtype values (ops/attention.py:176-184)
+        q = (qkv[:, :head_dim].astype(dtype) * scale).astype(jnp.float32)
+        k = qkv[:, head_dim:2 * head_dim].astype(knew_ref.dtype)
+        v = qkv[:, 2 * head_dim:].astype(vnew_ref.dtype)
+        knew_ref[0, 0] = k
+        vnew_ref[0, 0] = v
+
+        kc = kc_ref[0, 0].astype(jnp.float32)               # [Lmax, B, Dh]
+        lmax = kc.shape[0]
+        s_cache = jnp.sum(q[None] * kc, axis=-1)            # [Lmax, B]
+        stale = jax.lax.broadcasted_iota(jnp.int32, (lmax, 1), 0) >= pos
+        s_cache = jnp.where(stale, FUTURE_FILL, s_cache)
+        s_cur = jnp.sum(q * k.astype(jnp.float32), axis=-1)  # [B]
+
+        # softmax over the visible set = cached [0, pos) + current pos
+        m = jnp.maximum(jnp.max(s_cache, axis=0), s_cur)    # [B]
+        e_cache = jnp.exp(s_cache - m[None])                # [Lmax, B]
+        e_cur = jnp.exp(s_cur - m)                          # [B]
+        den = jnp.sum(e_cache, axis=0) + e_cur              # [B]
+        vc = vc_ref[0, 0].astype(jnp.float32)
+        ctx = (jnp.sum(e_cache[:, :, None] * vc, axis=0)
+               + e_cur[:, None] * v.astype(jnp.float32)) / den[:, None]
+        partial = _dot(ctx.astype(dtype), wout_ref[0, 0])   # [B, D] f32
+
+        @pl.when(s == 0)
+        def _():
+            acc_sc[:] = x + partial
+
+        @pl.when(s > 0)
+        def _():
+            acc_sc[:] = acc_sc[:] + partial
+
+        @pl.when(s == nh - 1)
+        def _():
+            x_sc[:] = acc_sc[:].astype(x_sc.dtype)
+
+    # ---- cross-attention stage (a group of nh//hc heads) --------------
+    @pl.when((s >= nh) & (s < nh + hc))
+    def _cross_stage():
+        hpc = nh // hc
+        x = x_sc[:].astype(jnp.float32)
+        b = x.shape[0]
+        xn = _layernorm(x, lns_ref[0, 2], lns_ref[0, 3])
+        q = _dot(xn.astype(dtype), wqc_ref[0, 0])           # [B, hpc*Dh] f32
+        q = (q.astype(dtype) * scale).astype(jnp.float32)
+        q = q.reshape(b, hpc, head_dim)
+        ck = ckc_ref[0, 0].astype(jnp.float32)              # [Tc, B, hpc*Dh]
+        tc = ck.shape[0]
+        ck = ck.reshape(tc, b, hpc, head_dim)
+        sc = jnp.sum(q[None] * ck, axis=-1)                 # [Tc, B, hpc]
+        sc = jnp.where(smask_ref[:][:, :, None] != 0, MASK_FILL, sc)
+        w = jax.nn.softmax(sc, axis=0)
+        cv = cvc_ref[0, 0].astype(jnp.float32).reshape(tc, b, hpc, head_dim)
+        ctx = jnp.sum(w[:, :, :, None] * cv, axis=0)        # [B, hpc, Dh]
+        partial = _dot(ctx.reshape(b, hpc * head_dim).astype(dtype),
+                       woc_ref[0, 0])                       # [B, D] f32
+
+        @pl.when(s == nh)
+        def _():
+            acc_sc[:] = x + partial
+
+        @pl.when(s > nh)
+        def _():
+            acc_sc[:] = acc_sc[:] + partial
+
+        @pl.when(s == nh + hc - 1)
+        def _():
+            x_sc[:] = acc_sc[:].astype(x_sc.dtype)
+
+    # ---- FFN stage (one chunk of the pwffn dim) -----------------------
+    @pl.when(s >= nh + hc)
+    def _ffn_stage():
+        x = x_sc[:].astype(jnp.float32)
+        xn = _layernorm(x, lns_ref[0, 4], lns_ref[0, 5])
+        h1 = _dot(xn.astype(dtype), w1_ref[0, 0]) + b1_ref[0, 0, 0]
+        h1 = jnp.maximum(h1, 0.0)
+        partial = _dot(h1.astype(dtype), w2_ref[0, 0])      # [B, D] f32
+
+        @pl.when(s == nh + hc)
+        def _():
+            acc_sc[:] = x + b2_ref[0] + partial
+
+        @pl.when(s > nh + hc)
+        def _():
+            acc_sc[:] = acc_sc[:] + partial
+
+        @pl.when(s == nstage - 1)
+        def _():
+            x_sc[:] = acc_sc[:].astype(x_sc.dtype)
+            xout_ref[:] = acc_sc[:].astype(xout_ref.dtype)
+
+
+def pick_stages(num_heads: int, pwffn_dim: int) -> tuple:
+    """(cross_stages, ffn_stages): the largest divisors ≤ 4 — ~0.5-1 MB
+    weight blocks at the flagship config, the VMEM/pipelining sweet spot."""
+    hc = next(d for d in (4, 3, 2, 1) if num_heads % d == 0)
+    fc = next(d for d in (4, 3, 2, 1) if pwffn_dim % d == 0)
+    return hc, fc
+
+
+def decode_stack_step(x, pos, lns, wqkv, wout, cache_k, cache_v,
+                      wqc, woc, ckc, cvc, smask, w1, b1, w2, b2,
+                      *, num_heads: int, cross_stages: int, ffn_stages: int):
+    """One whole-stack decode step.
+
+    x [B, D]; caches [L, H, Lmax, B, Dh] (READ-only — pos entries come from
+    the in-flight K/V); stacked weights as produced by
+    ops/transformer.py ``TransformerDecoder._step_stream``:
+    lns [L, 6, D] f32 (self/cross/ffn LN scale+bias), wqkv [L, H, D, 3*Dh],
+    wout [L, H, Dh, D], wqc [L, Hc, D, (H/Hc)*Dh], woc [L, Hc, (H/Hc)*Dh, D],
+    ckc/cvc [L, Hc, Tc, B, (H/Hc)*Dh], smask [Tc, B] int32 (1 = masked),
+    w1 [L, Fc, D, F/Fc], b1 [L, Fc, 1, F/Fc] f32, w2 [L, Fc, F/Fc, D],
+    b2 [L, D] f32.
+
+    Returns (x_out [B, D], k_new [L, H, B, Dh], v_new [L, H, B, Dh]); the
+    caller inserts k_new/v_new into the caches at ``pos``.
+    """
+    nl, nh = wqkv.shape[0], wqkv.shape[1]
+    hc, fc = cross_stages, ffn_stages
+    b, d = x.shape
+    dh = d // nh
+    hpc = nh // hc
+    lmax = cache_k.shape[2]
+    tc = ckc.shape[2]
+    fchunk = w1.shape[3]
+    nstage = nh + hc + fc
+    # block switch points for the next layer's cross/FFN blocks — early in
+    # the self phase, so their fetches overlap many stages of compute
+    # instead of piling onto the layer boundary (must be <= first use)
+    t_c = min(2, nh)
+    t_f = min(4, nh + hc)
+
+    def self_idx(ndim):
+        return lambda l, s: (l, jnp.minimum(s, nh - 1)) + (0,) * (ndim - 2)
+
+    def cross_idx(ndim):
+        def f(l, s):
+            lc = jnp.where(s >= t_c, l, jnp.maximum(l - 1, 0))
+            jc = jnp.where(s >= t_c, jnp.clip(s - nh, 0, hc - 1), hc - 1)
+            return (lc, jc) + (0,) * (ndim - 2)
+        return f
+
+    def ffn_idx(ndim):
+        def f(l, s):
+            lf = jnp.where(s >= t_f, l, jnp.maximum(l - 1, 0))
+            cf = jnp.where(s >= t_f, jnp.clip(s - nh - hc, 0, fc - 1),
+                           fc - 1)
+            return (lf, cf) + (0,) * (ndim - 2)
+        return f
+
+    vm = pltpu.VMEM
+    spec = pl.BlockSpec
+    in_specs = [
+        spec(memory_space=pltpu.SMEM),                            # pos
+        spec((b, d), lambda l, s: (0, 0), memory_space=vm),       # x
+        spec((1, 6, d), lambda l, s: (l, 0, 0), memory_space=vm),  # lns
+        spec((1, 1, d, 3 * dh), self_idx(4), memory_space=vm),    # wqkv
+        spec((1, 1, dh, d), self_idx(4), memory_space=vm),        # wout
+        spec((1, 1, lmax, b, dh), self_idx(5), memory_space=vm),  # cache k
+        spec((1, 1, lmax, b, dh), self_idx(5), memory_space=vm),  # cache v
+        spec((1, 1, d, hpc * dh), cross_idx(4), memory_space=vm),  # wqc
+        spec((1, 1, hpc * dh, d), cross_idx(4), memory_space=vm),  # woc
+        spec((1, 1, tc, b, hpc * dh), cross_idx(5), memory_space=vm),
+        spec((1, 1, tc, b, hpc * dh), cross_idx(5), memory_space=vm),
+        spec((tc, b), lambda l, s: (0, 0), memory_space=vm),      # smask
+        spec((1, 1, d, fchunk), ffn_idx(4), memory_space=vm),     # w1
+        spec((1, 1, 1, fchunk), ffn_idx(4), memory_space=vm),     # b1
+        spec((1, 1, fchunk, d), ffn_idx(4), memory_space=vm),     # w2
+        spec((1, d), lambda l, s: (l, 0), memory_space=vm),       # b2
+    ]
+    out_specs = (
+        spec((b, d), lambda l, s: (0, 0), memory_space=vm),       # x_out
+        spec((1, 1, b, dh), self_idx(4), memory_space=vm),        # k_new
+        spec((1, 1, b, dh), self_idx(4), memory_space=vm),        # v_new
+    )
+    out_shape = (
+        jax.ShapeDtypeStruct((b, d), x.dtype),
+        jax.ShapeDtypeStruct((nl, nh, b, dh), cache_k.dtype),
+        jax.ShapeDtypeStruct((nl, nh, b, dh), cache_v.dtype),
+    )
+    kernel = functools.partial(_stream_kernel, nh=nh, hc=hc, fc=fc,
+                               head_dim=dh, dtype=x.dtype)
+    return pl.pallas_call(
+        kernel,
+        grid=(nl, nstage),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[vm((b, d), x.dtype), vm((b, d), jnp.float32)],
+        interpret=_interpret(),
+    )(jnp.asarray(pos, jnp.int32).reshape(1), x, lns, wqkv, wout,
+      cache_k, cache_v, wqc, woc, ckc, cvc, smask, w1, b1, w2, b2)

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import List, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -264,6 +265,9 @@ class TransformerDecoder(nn.Module):
     ring_mesh: object = None
     ring_impl: str = "xla"
     use_pallas_decode: bool = False
+    # whole-stack streaming decode: ONE Pallas kernel for all layers,
+    # weights/caches pipelined HBM→VMEM (ops/pallas/decode_stream.py)
+    use_stream_decode: bool = False
 
     def setup(self):
         layer_cls = nn.remat(DecoderLayer) if self.remat else DecoderLayer
@@ -297,14 +301,23 @@ class TransformerDecoder(nn.Module):
     def cache_batch_axis(self) -> int:
         """Axis of the batch dim in the KV caches (beam search reorders
         along it)."""
+        if self.use_stream_decode:
+            return 3
         return 2 if self.use_pallas_decode else 0
 
     def init_cache(self, batch: int, max_len: int):
         """Zeroed self-attention KV caches: list of (k, v) [B,L,H,Dh]
         ([H,L,B,Dh] on the fused Pallas path: the per-step dynamic write at
         ``pos`` must land in an untiled leading dim, and the tiled trailing
-        dims stay (B,Dh) — ops/pallas/decode_layer.py)."""
+        dims stay (B,Dh) — ops/pallas/decode_layer.py).  The streaming
+        whole-stack path keeps ONE stacked pair [Layers,H,L,B,Dh] (a
+        single-element list, so the cache pytree shape is uniform across
+        paths)."""
         head_dim = self.hidden_dim // self.num_heads
+        if self.use_stream_decode:
+            z = jnp.zeros((self.num_layers, self.num_heads, max_len,
+                           batch, head_dim), dtype=self.dtype)
+            return [(z, z)]
         if self.use_pallas_decode:
             shape = (self.num_heads, max_len, batch, head_dim)
         else:
@@ -323,6 +336,12 @@ class TransformerDecoder(nn.Module):
         sig = jnp.asarray(
             timing_signal(self.max_decode_len, self.hidden_dim, dtype=x_t.dtype))
         x_t = x_t + jnp.take(sig[0], pos[None], axis=0)[None]
+        if self.use_stream_decode:
+            if key_pad is not None:
+                raise ValueError(
+                    "compat_decode_pad_mask is not supported on the "
+                    "streaming decode path (use_stream_decode)")
+            return self._step_stream(x_t, caches, cross_kvs, pos, src_mask)
         new_caches = []
         for layer, (cache_k, cache_v), (ck, cv) in zip(
                 self.layers, caches, cross_kvs):
@@ -330,3 +349,99 @@ class TransformerDecoder(nn.Module):
                 x_t, cache_k, cache_v, ck, cv, pos, src_mask, key_pad)
             new_caches.append((cache_k, cache_v))
         return self.final_ln(x_t), new_caches
+
+    def _step_stream(self, x_t, caches, cross_kvs, pos, src_mask):
+        """Whole-stack streaming decode step: one Pallas kernel over
+        grid (layers, stages) with weights/caches pipelined HBM→VMEM
+        (ops/pallas/decode_stream.py).  All the stacking below is
+        loop-invariant, so XLA hoists it out of the decode scan; only the
+        kernel and one cache ``dynamic_update_slice`` run per step."""
+        from blt_vqg_tpu.ops.pallas.decode_stream import (decode_stack_step,
+                                                          pick_stages)
+        h = self.num_heads
+        d = self.hidden_dim
+        dh = d // h
+        dt = self.dtype
+        hc, fc = pick_stages(h, self.pwffn_dim)
+        hpc = h // hc
+        fchunk = self.pwffn_dim // fc
+
+        def per_layer(fn):
+            return jnp.stack([fn(layer) for layer in self.layers])
+
+        def lns(layer):
+            p = lambda m: m.variables["params"]
+            return jnp.stack([
+                p(layer.ln_self)["scale"], p(layer.ln_self)["bias"],
+                p(layer.ln_cross)["scale"], p(layer.ln_cross)["bias"],
+                p(layer.ln_ffn)["scale"], p(layer.ln_ffn)["bias"],
+            ]).astype(jnp.float32)
+
+        def wqkv(layer):  # [H, D, 3*Dh] head-h column slices of fused QKV
+            sp = layer.self_attn.variables["params"]
+            return jnp.stack([
+                jnp.concatenate([sp[n]["kernel"][:, i * dh:(i + 1) * dh]
+                                 for n in ("q_proj", "k_proj", "v_proj")],
+                                axis=1)
+                for i in range(h)]).astype(dt)
+
+        def wout(layer):  # [H, Dh, D] head-h row slices
+            w = layer.self_attn.variables["params"]["out_proj"]["kernel"]
+            return jnp.stack([w[i * dh:(i + 1) * dh] for i in range(h)]
+                             ).astype(dt)
+
+        def wqc(layer):   # [Hc, D, hpc*Dh] head-group column slices
+            w = layer.cross_attn.variables["params"]["q_proj"]["kernel"]
+            return jnp.stack([w[:, j * hpc * dh:(j + 1) * hpc * dh]
+                              for j in range(hc)]).astype(dt)
+
+        def woc(layer):   # [Hc, hpc*Dh, D] head-group row slices
+            w = layer.cross_attn.variables["params"]["out_proj"]["kernel"]
+            return jnp.stack([w[j * hpc * dh:(j + 1) * hpc * dh]
+                              for j in range(hc)]).astype(dt)
+
+        def w1(layer):    # [Fc, D, F/Fc]
+            w = layer.ffn.variables["params"]["ffn_in"]["kernel"]
+            return jnp.stack([w[:, c * fchunk:(c + 1) * fchunk]
+                              for c in range(fc)]).astype(dt)
+
+        def b1(layer):    # [Fc, 1, F/Fc] f32
+            bv = layer.ffn.variables["params"]["ffn_in"]["bias"]
+            return jnp.stack([bv[None, c * fchunk:(c + 1) * fchunk]
+                              for c in range(fc)]).astype(jnp.float32)
+
+        def w2(layer):    # [Fc, F/Fc, D]
+            w = layer.ffn.variables["params"]["ffn_out"]["kernel"]
+            return jnp.stack([w[c * fchunk:(c + 1) * fchunk]
+                              for c in range(fc)]).astype(dt)
+
+        def b2(layer):    # [D] f32
+            return layer.ffn.variables["params"]["ffn_out"]["bias"
+                                                            ].astype(jnp.float32)
+
+        def ckv(xs):      # list of [B,Tc,H,Dh] -> [L,Hc,Tc,B,hpc*Dh]
+            stacked = jnp.stack(xs)                     # [L, B, Tc, H, Dh]
+            nl, b, tc = stacked.shape[:3]
+            out = stacked.transpose(0, 2, 1, 3, 4).reshape(
+                nl, tc, b, hc, hpc * dh)
+            return out.transpose(0, 3, 1, 2, 4).astype(dt)
+
+        b = x_t.shape[0]
+        tc = cross_kvs[0][0].shape[1]
+        smask = (jnp.broadcast_to(src_mask[:, 0, 0, :], (b, tc)).T
+                 if src_mask is not None
+                 else jnp.zeros((tc, b), bool)).astype(jnp.int32)
+
+        k_all, v_all = caches[0]
+        x_out, k_new, v_new = decode_stack_step(
+            x_t[:, 0], pos, per_layer(lns), per_layer(wqkv),
+            per_layer(wout), k_all, v_all, per_layer(wqc), per_layer(woc),
+            ckv([ck for ck, _ in cross_kvs]),
+            ckv([cv for _, cv in cross_kvs]),
+            smask, per_layer(w1), per_layer(b1), per_layer(w2),
+            per_layer(b2), num_heads=h, cross_stages=hc, ffn_stages=fc)
+        k_all = jax.lax.dynamic_update_slice(
+            k_all, k_new[:, :, None], (0, 0, pos, 0, 0))
+        v_all = jax.lax.dynamic_update_slice(
+            v_all, v_new[:, :, None], (0, 0, pos, 0, 0))
+        return self.final_ln(x_out[:, None]), [(k_all, v_all)]
