@@ -182,6 +182,23 @@ def bench_jax() -> dict:
     decode_qps = time_decode(with_probe=False)
     decode_qps_probe = time_decode(with_probe=True)
 
+    # ---- streaming decode: whole decoder stack in ONE Pallas kernel,
+    # weights/KV-cache pipelined HBM->VMEM (ops/pallas/decode_stream.py) —
+    # the LATENCY play for small-batch serving (the params are identical,
+    # only the decode program changes)
+    cfg_stream = cfg.replace(use_stream_decode=True)
+    model_stream = IQ(cfg_stream, vocab_size)
+    dec_stream = make_decode_step(cfg_stream, model_stream, latent_mode=True,
+                                  with_probe=False)
+
+    def run_stream(k):
+        for i in range(k):
+            out = dec_stream(state, batch["images"], batch["context"],
+                             jax.random.key(i))
+        return float(tok_sum(out["tokens"]))
+
+    decode_qps_stream = BATCH / _slope_time(run_stream, 3, 13)
+
     # ---- serving-throughput decode: the decode chain is LATENCY-bound
     # (benchmarks/METHODOLOGY.md), so a bigger batch amortizes it —
     # batch 512 is the throughput-serving configuration
@@ -251,12 +268,14 @@ def bench_jax() -> dict:
     log(f"jax[{platform}]: {train_sps:.1f} samples/s train (b64), "
         f"{train_sps_diet:.1f} diet, "
         f"{train_sps_256:.1f} (b256), {decode_qps:.1f} q/s serving decode "
-        f"({decode_qps_probe:.1f} probed, {decode_qps_512:.1f} @b512), "
+        f"({decode_qps_stream:.1f} stream-kernel, {decode_qps_probe:.1f} "
+        f"probed, {decode_qps_512:.1f} @b512), "
         f"compile {compile_s:.1f}s")
     return {"train_sps": train_sps, "train_sps_single": train_sps_single,
             "train_sps_256": train_sps_256, "train_sps_diet": train_sps_diet,
             "decode_qps": decode_qps, "decode_qps_probe": decode_qps_probe,
             "decode_qps_512": decode_qps_512,
+            "decode_qps_stream": decode_qps_stream,
             "platform": platform, "compile_s": compile_s,
             "step_ms": step_ms,
             "step_flops": step_flops, "step_bytes": step_bytes,
@@ -463,6 +482,8 @@ def main():
         "decode_questions_per_sec": round(jx["decode_qps"], 2),
         "decode_questions_per_sec_probed": round(jx["decode_qps_probe"], 2),
         "decode_questions_per_sec_batch512": round(jx["decode_qps_512"], 2),
+        "decode_questions_per_sec_stream_kernel": round(
+            jx["decode_qps_stream"], 2),
         "compile_s": round(jx["compile_s"], 1),
         "methodology": "readback-synchronized two-point slope (this box's "
         "tunneled backend returns from block_until_ready before device "

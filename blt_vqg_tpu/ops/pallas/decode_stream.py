@@ -75,7 +75,7 @@ def _stream_kernel(pos_ref, x_in_ref, lns_ref, wqkv_ref, wout_ref,
                    kc_ref, vc_ref, wqc_ref, woc_ref, ckc_ref, cvc_ref,
                    smask_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                    xout_ref, knew_ref, vnew_ref,
-                   x_sc, acc_sc,
+                   x_sc, xn_sc, acc_sc,
                    *, nh: int, hc: int, fc: int, head_dim: int, dtype):
     l = pl.program_id(0)
     s = pl.program_id(1)
@@ -83,44 +83,64 @@ def _stream_kernel(pos_ref, x_in_ref, lns_ref, wqkv_ref, wout_ref,
     pos = pos_ref[0]
     scale = head_dim ** -0.5
 
+    # The phase input is LayerNormed ONCE at each phase-entry stage into
+    # ``xn_sc`` (already cast to the GEMM dtype); every stage of the phase
+    # reuses it — recomputing LN per stage costs ~0.6 µs × stages of
+    # unoverlappable VPU time at flagship shapes.
+    @pl.when((l == 0) & (s == 0))
+    def _():
+        x_sc[:] = x_in_ref[:]
+
+    @pl.when(s == 0)
+    def _():
+        xn_sc[:] = _layernorm(x_sc[:], lns_ref[0, 0],
+                              lns_ref[0, 1]).astype(dtype)
+
+    @pl.when(s == nh)
+    def _():
+        xn_sc[:] = _layernorm(x_sc[:], lns_ref[0, 2],
+                              lns_ref[0, 3]).astype(dtype)
+
+    @pl.when(s == nh + hc)
+    def _():
+        xn_sc[:] = _layernorm(x_sc[:], lns_ref[0, 4],
+                              lns_ref[0, 5]).astype(dtype)
+
     # ---- self-attention stage (one head) ------------------------------
     @pl.when(s < nh)
     def _self_stage():
-        @pl.when((l == 0) & (s == 0))
-        def _():
-            x_sc[:] = x_in_ref[:]
-
-        x = x_sc[:].astype(jnp.float32)
-        xn = _layernorm(x, lns_ref[0, 0], lns_ref[0, 1])
-        qkv = _dot(xn.astype(dtype), wqkv_ref[0, 0])        # [B, 3*Dh] f32
+        qkv = _dot(xn_sc[:], wqkv_ref[0, 0])                # [B, 3*Dh] f32
         # round-trip through ``dtype``: the XLA step's fused QKV GEMM
         # produces (and caches) dtype values (ops/attention.py:176-184)
-        q = (qkv[:, :head_dim].astype(dtype) * scale).astype(jnp.float32)
+        q = qkv[:, :head_dim].astype(dtype) * scale         # [B, Dh] dtype
         k = qkv[:, head_dim:2 * head_dim].astype(knew_ref.dtype)
         v = qkv[:, 2 * head_dim:].astype(vnew_ref.dtype)
         knew_ref[0, 0] = k
         vnew_ref[0, 0] = v
 
-        kc = kc_ref[0, 0].astype(jnp.float32)               # [Lmax, B, Dh]
+        # dtype multiplies, f32 accumulation — the MXU einsum recipe the
+        # XLA step uses (bf16 operand products, f32 sums)
+        kc = kc_ref[0, 0]                                   # [Lmax, B, Dh]
         lmax = kc.shape[0]
-        s_cache = jnp.sum(q[None] * kc, axis=-1)            # [Lmax, B]
+        s_cache = jnp.sum(q[None] * kc, axis=-1,
+                          dtype=jnp.float32)                # [Lmax, B]
         stale = jax.lax.broadcasted_iota(jnp.int32, (lmax, 1), 0) >= pos
         s_cache = jnp.where(stale, FUTURE_FILL, s_cache)
-        s_cur = jnp.sum(q * k.astype(jnp.float32), axis=-1)  # [B]
+        s_cur = jnp.sum(q * k, axis=-1, dtype=jnp.float32)  # [B]
 
         # softmax over the visible set = cached [0, pos) + current pos
         m = jnp.maximum(jnp.max(s_cache, axis=0), s_cur)    # [B]
-        e_cache = jnp.exp(s_cache - m[None])                # [Lmax, B]
+        e_cache = jnp.exp(s_cache - m[None])                # [Lmax, B] f32
         e_cur = jnp.exp(s_cur - m)                          # [B]
         den = jnp.sum(e_cache, axis=0) + e_cur              # [B]
-        vc = vc_ref[0, 0].astype(jnp.float32)
-        ctx = (jnp.sum(e_cache[:, :, None] * vc, axis=0)
+        ctx = (jnp.sum(e_cache[:, :, None].astype(dtype) * vc_ref[0, 0],
+                       axis=0, dtype=jnp.float32)
                + e_cur[:, None] * v.astype(jnp.float32)) / den[:, None]
         partial = _dot(ctx.astype(dtype), wout_ref[0, 0])   # [B, D] f32
 
         @pl.when(s == 0)
         def _():
-            acc_sc[:] = x + partial
+            acc_sc[:] = x_sc[:].astype(jnp.float32) + partial
 
         @pl.when(s > 0)
         def _():
@@ -134,10 +154,8 @@ def _stream_kernel(pos_ref, x_in_ref, lns_ref, wqkv_ref, wout_ref,
     @pl.when((s >= nh) & (s < nh + hc))
     def _cross_stage():
         hpc = nh // hc
-        x = x_sc[:].astype(jnp.float32)
-        b = x.shape[0]
-        xn = _layernorm(x, lns_ref[0, 2], lns_ref[0, 3])
-        q = _dot(xn.astype(dtype), wqc_ref[0, 0])           # [B, hpc*Dh] f32
+        b = xn_sc.shape[0]
+        q = _dot(xn_sc[:], wqc_ref[0, 0])                   # [B, hpc*Dh] f32
         q = (q.astype(dtype) * scale).astype(jnp.float32)
         q = q.reshape(b, hpc, head_dim)
         ck = ckc_ref[0, 0].astype(jnp.float32)              # [Tc, B, hpc*Dh]
@@ -153,7 +171,7 @@ def _stream_kernel(pos_ref, x_in_ref, lns_ref, wqkv_ref, wout_ref,
 
         @pl.when(s == nh)
         def _():
-            acc_sc[:] = x + partial
+            acc_sc[:] = x_sc[:].astype(jnp.float32) + partial
 
         @pl.when(s > nh)
         def _():
@@ -166,15 +184,14 @@ def _stream_kernel(pos_ref, x_in_ref, lns_ref, wqkv_ref, wout_ref,
     # ---- FFN stage (one chunk of the pwffn dim) -----------------------
     @pl.when(s >= nh + hc)
     def _ffn_stage():
-        x = x_sc[:].astype(jnp.float32)
-        xn = _layernorm(x, lns_ref[0, 4], lns_ref[0, 5])
-        h1 = _dot(xn.astype(dtype), w1_ref[0, 0]) + b1_ref[0, 0, 0]
+        h1 = _dot(xn_sc[:], w1_ref[0, 0]) + b1_ref[0, 0, 0]
         h1 = jnp.maximum(h1, 0.0)
         partial = _dot(h1.astype(dtype), w2_ref[0, 0])      # [B, D] f32
 
         @pl.when(s == nh + hc)
         def _():
-            acc_sc[:] = x + b2_ref[0] + partial
+            acc_sc[:] = (x_sc[:].astype(jnp.float32)
+                         + b2_ref[0, 0] + partial)
 
         @pl.when(s > nh + hc)
         def _():
@@ -206,7 +223,7 @@ def decode_stack_step(x, pos, lns, wqkv, wout, cache_k, cache_v,
     wout [L, H, Dh, D], wqc [L, Hc, D, (H/Hc)*Dh], woc [L, Hc, (H/Hc)*Dh, D],
     ckc/cvc [L, Hc, Tc, B, (H/Hc)*Dh], smask [Tc, B] int32 (1 = masked),
     w1 [L, Fc, D, F/Fc], b1 [L, Fc, 1, F/Fc] f32, w2 [L, Fc, F/Fc, D],
-    b2 [L, D] f32.
+    b2 [L, 1, D] f32.
 
     Returns (x_out [B, D], k_new [L, H, B, Dh], v_new [L, H, B, Dh]); the
     caller inserts k_new/v_new into the caches at ``pos``.
@@ -262,7 +279,7 @@ def decode_stack_step(x, pos, lns, wqkv, wout, cache_k, cache_v,
         spec((1, 1, d, fchunk), ffn_idx(4), memory_space=vm),     # w1
         spec((1, 1, 1, fchunk), ffn_idx(4), memory_space=vm),     # b1
         spec((1, 1, fchunk, d), ffn_idx(4), memory_space=vm),     # w2
-        spec((1, d), lambda l, s: (l, 0), memory_space=vm),       # b2
+        spec((1, 1, d), lambda l, s: (l, 0, 0), memory_space=vm),  # b2
     ]
     out_specs = (
         spec((b, d), lambda l, s: (0, 0), memory_space=vm),       # x_out
@@ -282,7 +299,8 @@ def decode_stack_step(x, pos, lns, wqkv, wout, cache_k, cache_v,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[vm((b, d), x.dtype), vm((b, d), jnp.float32)],
+        scratch_shapes=[vm((b, d), x.dtype), vm((b, d), x.dtype),
+                        vm((b, d), jnp.float32)],
         interpret=_interpret(),
     )(jnp.asarray(pos, jnp.int32).reshape(1), x, lns, wqkv, wout,
       cache_k, cache_v, wqc, woc, ckc, cvc, smask, w1, b1, w2, b2)

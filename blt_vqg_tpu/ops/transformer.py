@@ -415,9 +415,9 @@ class TransformerDecoder(nn.Module):
             return jnp.stack([w[c * fchunk:(c + 1) * fchunk]
                               for c in range(fc)]).astype(dt)
 
-        def b2(layer):    # [D] f32
+        def b2(layer):    # [1, D] f32
             return layer.ffn.variables["params"]["ffn_out"]["bias"
-                                                            ].astype(jnp.float32)
+                                                            ][None].astype(jnp.float32)
 
         def ckv(xs):      # list of [B,Tc,H,Dh] -> [L,Hc,Tc,B,hpc*Dh]
             stacked = jnp.stack(xs)                     # [L, B, Tc, H, Dh]
