@@ -26,19 +26,25 @@ import os
 import sys
 
 
+def open_dataset(path, vocab, cat2name=None, max_examples=None):
+    """Directory = packed (mmap + native gather); file = reference-schema
+    hdf5 — the same sniffing as cli.train_iq."""
+    from blt_vqg_tpu.data.dataset import IQDataset
+    from blt_vqg_tpu.data.packed import PackedDataset
+    cls = PackedDataset if os.path.isdir(path) else IQDataset
+    return cls(path, vocab, cat2name, max_examples=max_examples)
+
+
 def _train_trial(cfg, stop_at_step: int, max_examples=None) -> float:
     """Train (or resume) one trial to ``stop_at_step``; returns val loss."""
-    from blt_vqg_tpu.data.dataset import IQDataset
     from blt_vqg_tpu.data.loader import make_loader
     from blt_vqg_tpu.text.vocabulary import load_vocab
     from blt_vqg_tpu.train.trainer import Trainer
 
     vocab = load_vocab(cfg.vocab)
     cat2name = cfg.cat2name if os.path.exists(cfg.cat2name) else None
-    train_ds = IQDataset(cfg.dataset, vocab, cat2name,
-                         max_examples=max_examples)
-    val_ds = IQDataset(cfg.val_dataset, vocab, cat2name,
-                       max_examples=max_examples)
+    train_ds = open_dataset(cfg.dataset, vocab, cat2name, max_examples)
+    val_ds = open_dataset(cfg.val_dataset, vocab, cat2name, max_examples)
     trainer = Trainer(cfg, vocab)
     train_iter = make_loader(train_ds, cfg.batch_size, cfg.input_mode,
                              shuffle=True, seed=cfg.seed)

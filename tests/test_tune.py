@@ -228,3 +228,32 @@ class TestRngStream:
         s = RngStream(0)
         assert not np.array_equal(jax.random.key_data(s.key(1)),
                                   jax.random.key_data(s.key(2)))
+
+
+class TestOpenDataset:
+    def test_sniffs_packed_dir_and_hdf5_file(self, tmp_path):
+        """cli.tune trials accept BOTH dataset formats (same sniffing as
+        cli.train_iq): a packed directory and a reference-schema hdf5."""
+        import numpy as np
+
+        from blt_vqg_tpu.cli.tune import open_dataset
+        from blt_vqg_tpu.data.dataset import IQDataset
+        from blt_vqg_tpu.data.packed import PackedDataset, pack_hdf5
+        from blt_vqg_tpu.data.synthetic import write_synthetic_hdf5
+        from blt_vqg_tpu.text.vocabulary import Vocabulary
+
+        vocab = Vocabulary()
+        for i in range(40 - len(vocab)):
+            vocab.add_word(f"w{i}")
+        h5 = str(tmp_path / "d.hdf5")
+        write_synthetic_hdf5(h5, num_questions=16, num_images=4, im_size=16,
+                             vocab_size=40, uint8_images=True)
+        packed_dir = pack_hdf5(h5, str(tmp_path / "packed"))
+
+        ds_h5 = open_dataset(h5, vocab, max_examples=8)
+        ds_pk = open_dataset(packed_dir, vocab, max_examples=8)
+        assert isinstance(ds_h5, IQDataset)
+        assert isinstance(ds_pk, PackedDataset)
+        assert len(ds_h5) == len(ds_pk) == 8
+        a, b = ds_h5.batch(np.arange(4)), ds_pk.batch(np.arange(4))
+        np.testing.assert_array_equal(a["questions"], b["questions"])
