@@ -22,7 +22,21 @@ automatic block pipelining fetches stage ``i+1``'s blocks during stage
 activation (``[B, D]``) rides across stages in VMEM scratch; per-stage
 index maps "hold" their last block outside their phase so nothing is
 refetched, and next-layer fetches are staggered across the current layer's
-early stages.
+early stages.  LayerNorm is computed ONCE per phase into scratch (per-
+stage recompute is unoverlappable VPU time — measured 45 µs/step at
+flagship shapes).
+
+KV-cache reads come in two modes:
+
+- ``bucketed_cache=True`` (default): the caches stay in HBM and each
+  self stage hand-DMAs only a prefix bucket — the smallest of four
+  static sizes ≥ ``pos+1`` — into an alternating 2-slot VMEM scratch,
+  the copy for stage ``n+1`` issued during stage ``n`` (double
+  buffering).  Early decode steps read ~25% of the cache instead of all
+  of it, cutting both DMA and the attention VPU chains.
+- ``bucketed_cache=False``: full-length cache blocks ride the same
+  automatic BlockSpec pipeline as the weights (simpler; the measured
+  round-3 baseline).
 
 The kernel does NOT write the KV cache in place: it emits the current
 position's K/V (``[L, H, B, Dh]``) and the caller inserts them with one
@@ -54,6 +68,8 @@ from blt_vqg_tpu.ops.masks import MASK_FILL
 # constant as the XLA decode step (ops/attention.py:194)
 FUTURE_FILL = 1e3 * MASK_FILL
 
+_N_BUCKETS = 4
+
 
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
@@ -71,17 +87,68 @@ def _dot(a, b):
                                preferred_element_type=jnp.float32)
 
 
+def _cache_buckets(lmax: int):
+    """Static prefix sizes; the smallest ≥ pos+1 is copied/attended."""
+    step = -(-lmax // _N_BUCKETS)
+    sizes = []
+    for i in range(_N_BUCKETS):
+        s = min(step * (i + 1), lmax)
+        if not sizes or s > sizes[-1]:
+            sizes.append(s)
+    return step, tuple(sizes)
+
+
 def _stream_kernel(pos_ref, x_in_ref, lns_ref, wqkv_ref, wout_ref,
                    kc_ref, vc_ref, wqc_ref, woc_ref, ckc_ref, cvc_ref,
                    smask_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                    xout_ref, knew_ref, vnew_ref,
-                   x_sc, xn_sc, acc_sc,
-                   *, nh: int, hc: int, fc: int, head_dim: int, dtype):
+                   x_sc, xn_sc, acc_sc, *bufs,
+                   nh: int, hc: int, fc: int, head_dim: int, dtype,
+                   nl: int, lmax: int, bucketed: bool):
     l = pl.program_id(0)
     s = pl.program_id(1)
     nstage = nh + hc + fc
     pos = pos_ref[0]
     scale = head_dim ** -0.5
+
+    if bucketed:
+        kbuf, vbuf, sems = bufs
+        step_sz, buckets = _cache_buckets(lmax)
+        bidx = jnp.minimum(pos // step_sz, len(buckets) - 1)
+
+        def cache_copies(l_, h_, slot, bsize):
+            k = pltpu.make_async_copy(
+                kc_ref.at[l_, h_, pl.ds(0, bsize)],
+                kbuf.at[slot, pl.ds(0, bsize)], sems.at[slot, 0])
+            v = pltpu.make_async_copy(
+                vc_ref.at[l_, h_, pl.ds(0, bsize)],
+                vbuf.at[slot, pl.ds(0, bsize)], sems.at[slot, 1])
+            return k, v
+
+        def start_for(l_, h_):
+            slot = (l_ * nh + h_) % 2
+            for i, bs in enumerate(buckets):
+                @pl.when(bidx == i)
+                def _(bs=bs):
+                    ck, cv = cache_copies(l_, h_, slot, bs)
+                    ck.start()
+                    cv.start()
+
+        # pipeline fill: the very first self stage has no predecessor
+        @pl.when((l == 0) & (s == 0))
+        def _():
+            start_for(0, 0)
+
+        # issue stage n+1's cache copies during stage n (slots alternate
+        # with the global self-stage counter, so the in-use slot is never
+        # the one being filled)
+        @pl.when(s < nh - 1)
+        def _():
+            start_for(l, s + 1)
+
+        @pl.when((s == nstage - 1) & (l < nl - 1))
+        def _():
+            start_for(l + 1, 0)
 
     # The phase input is LayerNormed ONCE at each phase-entry stage into
     # ``xn_sc`` (already cast to the GEMM dtype); every stage of the phase
@@ -118,33 +185,48 @@ def _stream_kernel(pos_ref, x_in_ref, lns_ref, wqkv_ref, wout_ref,
         knew_ref[0, 0] = k
         vnew_ref[0, 0] = v
 
-        # dtype multiplies, f32 accumulation — the MXU einsum recipe the
-        # XLA step uses (bf16 operand products, f32 sums)
-        kc = kc_ref[0, 0]                                   # [Lmax, B, Dh]
-        lmax = kc.shape[0]
-        s_cache = jnp.sum(q[None] * kc, axis=-1,
-                          dtype=jnp.float32)                # [Lmax, B]
-        stale = jax.lax.broadcasted_iota(jnp.int32, (lmax, 1), 0) >= pos
-        s_cache = jnp.where(stale, FUTURE_FILL, s_cache)
-        s_cur = jnp.sum(q * k, axis=-1, dtype=jnp.float32)  # [B]
+        def attend(kc, vc):
+            """Cached attention over a [N, B, Dh] prefix + the current
+            position, then the accumulated out-projection.  dtype
+            multiplies, f32 accumulation — the MXU einsum recipe the XLA
+            step uses (bf16 operand products, f32 sums)."""
+            n = kc.shape[0]
+            s_cache = jnp.sum(q[None] * kc, axis=-1,
+                              dtype=jnp.float32)            # [N, B]
+            stale = (jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+                     >= pos)
+            s_cache = jnp.where(stale, FUTURE_FILL, s_cache)
+            s_cur = jnp.sum(q * k, axis=-1, dtype=jnp.float32)   # [B]
 
-        # softmax over the visible set = cached [0, pos) + current pos
-        m = jnp.maximum(jnp.max(s_cache, axis=0), s_cur)    # [B]
-        e_cache = jnp.exp(s_cache - m[None])                # [Lmax, B] f32
-        e_cur = jnp.exp(s_cur - m)                          # [B]
-        den = jnp.sum(e_cache, axis=0) + e_cur              # [B]
-        ctx = (jnp.sum(e_cache[:, :, None].astype(dtype) * vc_ref[0, 0],
-                       axis=0, dtype=jnp.float32)
-               + e_cur[:, None] * v.astype(jnp.float32)) / den[:, None]
-        partial = _dot(ctx.astype(dtype), wout_ref[0, 0])   # [B, D] f32
+            # softmax over the visible set = cached [0, pos) + current
+            m = jnp.maximum(jnp.max(s_cache, axis=0), s_cur)     # [B]
+            e_cache = jnp.exp(s_cache - m[None])                 # [N, B]
+            e_cur = jnp.exp(s_cur - m)                           # [B]
+            den = jnp.sum(e_cache, axis=0) + e_cur               # [B]
+            ctx = (jnp.sum(e_cache[:, :, None].astype(dtype) * vc,
+                           axis=0, dtype=jnp.float32)
+                   + e_cur[:, None] * v.astype(jnp.float32)) / den[:, None]
+            partial = _dot(ctx.astype(dtype), wout_ref[0, 0])    # [B, D]
 
-        @pl.when(s == 0)
-        def _():
-            acc_sc[:] = x_sc[:].astype(jnp.float32) + partial
+            @pl.when(s == 0)
+            def _():
+                acc_sc[:] = x_sc[:].astype(jnp.float32) + partial
 
-        @pl.when(s > 0)
-        def _():
-            acc_sc[:] = acc_sc[:] + partial
+            @pl.when(s > 0)
+            def _():
+                acc_sc[:] = acc_sc[:] + partial
+
+        if bucketed:
+            slot = (l * nh + s) % 2
+            for i, bs in enumerate(buckets):
+                @pl.when(bidx == i)
+                def _(bs=bs):
+                    ck, cv = cache_copies(l, s, slot, bs)
+                    ck.wait()
+                    cv.wait()
+                    attend(kbuf[slot, :bs], vbuf[slot, :bs])
+        else:
+            attend(kc_ref[0, 0], vc_ref[0, 0])
 
         @pl.when(s == nh - 1)
         def _():
@@ -213,7 +295,8 @@ def pick_stages(num_heads: int, pwffn_dim: int) -> tuple:
 
 def decode_stack_step(x, pos, lns, wqkv, wout, cache_k, cache_v,
                       wqc, woc, ckc, cvc, smask, w1, b1, w2, b2,
-                      *, num_heads: int, cross_stages: int, ffn_stages: int):
+                      *, num_heads: int, cross_stages: int, ffn_stages: int,
+                      bucketed_cache: bool = True):
     """One whole-stack decode step.
 
     x [B, D]; caches [L, H, Lmax, B, Dh] (READ-only — pos entries come from
@@ -263,14 +346,17 @@ def decode_stack_step(x, pos, lns, wqkv, wout, cache_k, cache_v,
 
     vm = pltpu.VMEM
     spec = pl.BlockSpec
+    cache_spec = (spec(memory_space=pltpu.ANY) if bucketed_cache
+                  else spec((1, 1, lmax, b, dh), self_idx(5),
+                            memory_space=vm))
     in_specs = [
         spec(memory_space=pltpu.SMEM),                            # pos
         spec((b, d), lambda l, s: (0, 0), memory_space=vm),       # x
         spec((1, 6, d), lambda l, s: (l, 0, 0), memory_space=vm),  # lns
         spec((1, 1, d, 3 * dh), self_idx(4), memory_space=vm),    # wqkv
         spec((1, 1, dh, d), self_idx(4), memory_space=vm),        # wout
-        spec((1, 1, lmax, b, dh), self_idx(5), memory_space=vm),  # cache k
-        spec((1, 1, lmax, b, dh), self_idx(5), memory_space=vm),  # cache v
+        cache_spec,                                               # cache k
+        cache_spec,                                               # cache v
         spec((1, 1, d, hpc * dh), cross_idx(4), memory_space=vm),  # wqc
         spec((1, 1, hpc * dh, d), cross_idx(4), memory_space=vm),  # woc
         spec((1, 1, tc, b, hpc * dh), cross_idx(5), memory_space=vm),
@@ -291,16 +377,22 @@ def decode_stack_step(x, pos, lns, wqkv, wout, cache_k, cache_v,
         jax.ShapeDtypeStruct((nl, nh, b, dh), cache_k.dtype),
         jax.ShapeDtypeStruct((nl, nh, b, dh), cache_v.dtype),
     )
+    scratch = [vm((b, d), x.dtype), vm((b, d), x.dtype),
+               vm((b, d), jnp.float32)]
+    if bucketed_cache:
+        scratch += [vm((2, lmax, b, dh), cache_k.dtype),
+                    vm((2, lmax, b, dh), cache_v.dtype),
+                    pltpu.SemaphoreType.DMA((2, 2))]
     kernel = functools.partial(_stream_kernel, nh=nh, hc=hc, fc=fc,
-                               head_dim=dh, dtype=x.dtype)
+                               head_dim=dh, dtype=x.dtype, nl=nl,
+                               lmax=lmax, bucketed=bucketed_cache)
     return pl.pallas_call(
         kernel,
         grid=(nl, nstage),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[vm((b, d), x.dtype), vm((b, d), x.dtype),
-                        vm((b, d), jnp.float32)],
+        scratch_shapes=scratch,
         interpret=_interpret(),
     )(jnp.asarray(pos, jnp.int32).reshape(1), x, lns, wqkv, wout,
       cache_k, cache_v, wqc, woc, ckc, cvc, smask, w1, b1, w2, b2)

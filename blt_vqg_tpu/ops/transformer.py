@@ -268,6 +268,9 @@ class TransformerDecoder(nn.Module):
     # whole-stack streaming decode: ONE Pallas kernel for all layers,
     # weights/caches pipelined HBM→VMEM (ops/pallas/decode_stream.py)
     use_stream_decode: bool = False
+    # bucketed: self stages hand-DMA only a prefix bucket of the KV cache
+    # (False = full-length blocks on the automatic pipeline)
+    stream_bucketed_cache: bool = True
 
     def setup(self):
         layer_cls = nn.remat(DecoderLayer) if self.remat else DecoderLayer
@@ -439,7 +442,8 @@ class TransformerDecoder(nn.Module):
             ckv([ck for ck, _ in cross_kvs]),
             ckv([cv for _, cv in cross_kvs]),
             smask, per_layer(w1), per_layer(b1), per_layer(w2),
-            per_layer(b2), num_heads=h, cross_stages=hc, ffn_stages=fc)
+            per_layer(b2), num_heads=h, cross_stages=hc, ffn_stages=fc,
+            bucketed_cache=self.stream_bucketed_cache)
         k_all = jax.lax.dynamic_update_slice(
             k_all, k_new[:, :, None], (0, 0, pos, 0, 0))
         v_all = jax.lax.dynamic_update_slice(

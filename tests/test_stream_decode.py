@@ -17,13 +17,15 @@ from blt_vqg_tpu.ops.pallas.decode_stream import pick_stages
 from blt_vqg_tpu.ops.transformer import TransformerDecoder
 
 
-@pytest.fixture(scope="module")
-def dec_setup():
+@pytest.fixture(scope="module", params=[True, False],
+                ids=["bucketed", "pipelined"])
+def dec_setup(request):
     kw = dict(hidden_dim=32, num_layers=3, num_heads=4, pwffn_dim=64,
               attention_dropout=0.0, relu_dropout=0.0, dtype=jnp.float32,
               max_decode_len=8)
     plain = TransformerDecoder(**kw)
-    stream = TransformerDecoder(**kw, use_stream_decode=True)
+    stream = TransformerDecoder(**kw, use_stream_decode=True,
+                                stream_bucketed_cache=request.param)
     b, tc, d = 2, 3, 32
     enc = jax.random.normal(jax.random.key(0), (b, tc, d), jnp.float32)
     x = jax.random.normal(jax.random.key(1), (b, 5, d), jnp.float32)
@@ -37,6 +39,18 @@ class TestPickStages:
         assert pick_stages(4, 64) == (4, 4)
         assert pick_stages(6, 63) == (3, 3)
         assert pick_stages(1, 7) == (1, 1)
+
+    def test_cache_buckets(self):
+        from blt_vqg_tpu.ops.pallas.decode_stream import _cache_buckets
+        step, sizes = _cache_buckets(51)
+        assert step == 13 and sizes == (13, 26, 39, 51)
+        # every pos maps to a bucket covering pos+1
+        for pos in range(51):
+            assert sizes[min(pos // step, len(sizes) - 1)] >= pos + 1
+        step, sizes = _cache_buckets(6)
+        assert sizes[-1] == 6 and sizes == tuple(sorted(set(sizes)))
+        for pos in range(6):
+            assert sizes[min(pos // step, len(sizes) - 1)] >= pos + 1
 
 
 class TestStreamDecodeStep:
