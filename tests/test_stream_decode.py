@@ -162,6 +162,16 @@ class TestStreamGreedyDecode:
                                    np.asarray(out_b["top_probs"]),
                                    atol=1e-4)
 
+        # early-stop (while_loop) serving decode composes with the stream
+        # kernel and emits the same tokens as the fixed-length scan
+        es = stream.apply(variables, images, context,
+                          max_decode_length=cfg.max_decode_length,
+                          latent_mode=True, early_stop=True,
+                          with_probe=False, method=IQ.decode_greedy,
+                          rngs={"latent": jax.random.key(3)})
+        np.testing.assert_array_equal(np.asarray(es["tokens"]),
+                                      np.asarray(out_a["tokens"]))
+
         beam_a = plain.apply(variables, images, context, beam_size=3,
                              max_decode_length=cfg.max_decode_length,
                              latent_mode=True, method=IQ.decode_beam,
