@@ -46,6 +46,10 @@ Attention therefore treats the current position specially: cached scores
 are masked at ``index >= pos`` and the in-register K/V supply position
 ``pos`` — exactly the XLA step's visible set (ops/attention.py step).
 
+Scope: single-device serving (the kernel gathers each layer's full
+weights into stacked arrays; under a TP-sharded mesh use the XLA decode
+path, whose GEMMs partition over the model axis).
+
 Semantics parity target: ops/transformer.py ``DecoderLayer.step`` /
 ``TransformerDecoder.step`` (timing signal and final LN stay outside).
 Replaces the reference's per-step full-prefix re-encode hot loop

@@ -36,6 +36,10 @@ def main(argv=None):
     parser.add_argument("--model-dir", required=True)
     parser.add_argument("--batch", type=int, default=64)
     parser.add_argument("--rounds", type=int, default=3)
+    parser.add_argument("--stream", action="store_true",
+                        help="whole-stack streaming decode kernel "
+                        "(ops/pallas/decode_stream.py; the small-batch "
+                        "latency play, 1.07x the XLA path at b64)")
     args = parser.parse_args(argv)
 
     import jax
@@ -48,7 +52,8 @@ def main(argv=None):
     from blt_vqg_tpu.train.step import make_decode_step
 
     cfg = Config.load(os.path.join(args.model_dir, "args.json"))
-    cfg = cfg.replace(batch_size=args.batch, decode_early_stop=True)
+    cfg = cfg.replace(batch_size=args.batch, decode_early_stop=True,
+                      use_stream_decode=args.stream)
     vocab = load_vocab(cfg.vocab)
     model = IQ(cfg, len(vocab))
 
