@@ -48,6 +48,98 @@ def make_word_list(n: int, seed: int = 0):
     return words
 
 
+# --- learnable mode -------------------------------------------------------
+# Visual attributes a frozen RANDOM ResNet-18 provably preserves: large
+# color regions (global-average-pooled conv features separate them).  Image
+# index i carries (a, b) = (i % NA, (i // NA) % NB): background color a,
+# centered-square color b.  The question is a deterministic 6-word template
+# of (a, b, answer category) — exactly the inputs the model observes under
+# input_mode=cat — so a correct model can drive BLEU toward 1 on held-out
+# images (fresh noise, same attribute scheme).
+
+NA, NB = 12, 12
+# well-separated palettes (background / square use disjoint color sets)
+_BG = [(230, 25, 75), (60, 180, 75), (255, 225, 25), (0, 130, 200),
+       (245, 130, 48), (145, 30, 180), (70, 240, 240), (240, 50, 230),
+       (210, 245, 60), (170, 110, 40), (0, 0, 128), (128, 128, 128)]
+_SQ = [(250, 190, 212), (0, 128, 128), (220, 190, 255), (128, 0, 0),
+       (170, 255, 195), (128, 128, 0), (255, 215, 180), (255, 250, 200),
+       (0, 0, 0), (255, 255, 255), (100, 160, 20), (20, 60, 120)]
+_POS_PRIMES = (4973, 6007, 3209, 9041, 2741, 7433)
+
+
+def _attrs(i: int):
+    return i % NA, (i // NA) % NB
+
+
+def learnable_question(a: int, b: int, cat: int, q_words) -> str:
+    """Deterministic 6-word template of (bg color, square color, category)."""
+    nw = len(q_words)
+    combo = a + NA * (b + NB * cat)
+    return " ".join(q_words[(combo * p + j) % nw]
+                    for j, p in enumerate(_POS_PRIMES)) + "?"
+
+
+def make_images_learnable(img_dir: str, split: str, num: int, im_size: int,
+                          seed: int = 0):
+    """Attribute-bearing JPEGs: background color ``i % NA``, centered square
+    color ``(i // NA) % NB``, plus small per-image noise rects + brightness
+    jitter so every image is unique (val uses a fresh seed → held-out
+    nuisance variation over the same attribute scheme)."""
+    from PIL import Image
+    rng = np.random.RandomState(seed)
+    os.makedirs(img_dir, exist_ok=True)
+    q = im_size // 4
+    for i in range(num):
+        a, b = _attrs(i)
+        img = np.empty((im_size, im_size, 3), dtype=np.float32)
+        img[:] = _BG[a]
+        img[q:3 * q, q:3 * q] = _SQ[b]
+        img += rng.randint(-10, 11, (1, 1, 3))
+        # noise scaled to the image so attributes stay dominant at any size
+        # (8-20px at the flagship 224px)
+        lo, hi = max(2, im_size // 28), max(3, im_size // 11)
+        for _ in range(3):
+            y, x = rng.randint(0, im_size - hi - 1, 2)
+            h, w = rng.randint(lo, hi + 1, 2)
+            img[y:y + h, x:x + w] = rng.randint(0, 255, (1, 1, 3))
+        arr = np.clip(img, 0, 255).astype(np.uint8)
+        name = (f"COCO_{split}2014_{i + 1}.jpg" if i % 2 == 0
+                else f"COCO_{split}2014_{i + 1:012d}.jpg")
+        Image.fromarray(arr).save(os.path.join(img_dir, name), "JPEG",
+                                  quality=80)
+        if (i + 1) % 2000 == 0:
+            print(f"  {split} images: {i + 1}/{num}", flush=True)
+
+
+def make_qa_json_learnable(root: str, split: str, num_qa: int,
+                           num_images: int, q_words, answers_by_cat,
+                           seed: int = 1):
+    """Learnable QA: question = ``learnable_question(a, b, cat)`` where
+    (a, b) come from the drawn image's index; answer deterministic of the
+    same triple (so input_mode=ans is learnable too)."""
+    rng = np.random.RandomState(seed)
+    cats = sorted(answers_by_cat)
+    questions, annotations = [], []
+    for qid in range(num_qa):
+        image_id = int(rng.randint(1, num_images + 1))
+        a, b = _attrs(image_id - 1)
+        ci = int(rng.randint(len(cats)))
+        combo = a + NA * (b + NB * ci)
+        ans = answers_by_cat[cats[ci]][combo % len(answers_by_cat[cats[ci]])]
+        questions.append({"image_id": image_id, "question_id": qid,
+                          "question": learnable_question(a, b, ci, q_words)})
+        annotations.append({"image_id": image_id, "question_id": qid,
+                            "multiple_choice_answer": ans})
+    qp = os.path.join(root, f"questions_{split}.json")
+    ap = os.path.join(root, f"annotations_{split}.json")
+    with open(qp, "w") as f:
+        json.dump({"questions": questions}, f)
+    with open(ap, "w") as f:
+        json.dump({"annotations": annotations}, f)
+    return qp, ap
+
+
 def make_images(img_dir: str, split: str, num: int, im_size: int,
                 seed: int = 0):
     """Structured JPEGs (gradient + random rectangles) — realistic decode
@@ -116,6 +208,9 @@ def main():
     p.add_argument("--num-cats", type=int, default=16)
     p.add_argument("--skip-images", action="store_true",
                    help="image dirs already populated")
+    p.add_argument("--learnable", action="store_true",
+                   help="questions a deterministic template of (visual "
+                   "attributes, category) — see learnable_question")
     args = p.parse_args()
 
     os.makedirs(args.root, exist_ok=True)
@@ -135,19 +230,21 @@ def main():
     with open(cat2ans_path, "w") as f:
         json.dump(answers_by_cat, f)
 
+    mk_images = make_images_learnable if args.learnable else make_images
+    mk_qa = make_qa_json_learnable if args.learnable else make_qa_json
     t = time.time()
     if not args.skip_images:
-        make_images(os.path.join(args.root, "images"), "train",
-                    args.num_images, args.im_size, seed=2)
-        make_images(os.path.join(args.root, "images"), "val",
-                    args.val_images, args.im_size, seed=3)
+        mk_images(os.path.join(args.root, "images"), "train",
+                  args.num_images, args.im_size, seed=2)
+        mk_images(os.path.join(args.root, "images"), "val",
+                  args.val_images, args.im_size, seed=3)
     timings["images_s"] = time.time() - t
 
     t = time.time()
-    qp, ap = make_qa_json(args.root, "train", args.num_qa, args.num_images,
-                          q_words, answers_by_cat, seed=1)
-    vqp, vap = make_qa_json(args.root, "val", args.val_qa, args.val_images,
-                            q_words, answers_by_cat, seed=4)
+    qp, ap = mk_qa(args.root, "train", args.num_qa, args.num_images,
+                   q_words, answers_by_cat, seed=1)
+    vqp, vap = mk_qa(args.root, "val", args.val_qa, args.val_images,
+                     q_words, answers_by_cat, seed=4)
     timings["json_s"] = time.time() - t
 
     # the REAL ETL (reference utils/store_dataset.py capability)
@@ -186,7 +283,7 @@ def main():
     from blt_vqg_tpu.text.vocabulary import load_vocab
     vocab = load_vocab(vocab_path)
     summary = {
-        "root": args.root,
+        "root": args.root, "learnable": args.learnable,
         "num_qa": args.num_qa, "num_images": args.num_images,
         "val_qa": args.val_qa, "im_size": args.im_size,
         "vocab_size": len(vocab),
