@@ -29,6 +29,14 @@ def log(*a):
 
 
 def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--variants", default="xla,fused,stream,stream_int8",
+                    help="comma list: xla,fused,stream,stream_int8 "
+                    "(xla always runs first as the ratio baseline)")
+    cli = ap.parse_args()
+    wanted = set(cli.variants.split(","))
+
     import jax
     import jax.numpy as jnp
     from __graft_entry__ import _example_batch
@@ -50,7 +58,10 @@ def main():
     results = {}
     variants = (("xla", cfg),
                 ("fused", cfg.replace(use_pallas_decode=True)),
-                ("stream", cfg.replace(use_stream_decode=True)))
+                ("stream", cfg.replace(use_stream_decode=True)),
+                ("stream_int8", cfg.replace(use_stream_decode=True,
+                                            stream_weight_dtype="int8")))
+    variants = [(n, c) for n, c in variants if n == "xla" or n in wanted]
     for name, c in variants:
         model = IQ(c, vocab_size)
         state = create_train_state(c, model, jax.random.key(0), batch)
@@ -76,20 +87,24 @@ def main():
             return float(tok_sum(out["tokens"]))
 
         run_k(1)
-        best = None
-        for _ in range(3):
+        # median of 5 slope estimates (METHODOLOGY.md round-3 correction:
+        # a min-estimator selects jitter-corrupted too-low slopes)
+        cands = []
+        for _ in range(5):
             t0 = time.time(); run_k(3); t1 = time.time() - t0
             t0 = time.time(); run_k(13); t2 = time.time() - t0
-            cand = (t2 - t1) / 10
-            best = cand if best is None else min(best, cand)
+            cands.append((t2 - t1) / 10)
+        best = float(np.median(cands))
         qps = BATCH / best
         per_step_us = best / (cfg.max_decode_length + 1) * 1e6
         log(f"{name}: {qps:.1f} q/s, {per_step_us:.1f} us/decode-step")
         results[name] = {"qps": round(qps, 2),
                          "us_per_step": round(per_step_us, 2)}
 
-    results["stream_vs_xla"] = round(results["stream"]["qps"]
-                                     / results["xla"]["qps"], 3)
+    for n in ("stream", "stream_int8"):
+        if n in results:
+            results[f"{n}_vs_xla"] = round(results[n]["qps"]
+                                           / results["xla"]["qps"], 3)
     print(json.dumps(results))
 
 

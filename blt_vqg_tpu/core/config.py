@@ -93,6 +93,12 @@ class Config:
                                       # Pallas kernel for all layers, weights
                                       # and KV cache pipelined HBM->VMEM
                                       # (ops/pallas/decode_stream.py)
+    stream_weight_dtype: str = "bfloat16"  # "int8": stream decode weights
+                                      # quantized (per-column scales, VMEM
+                                      # dequant) — halves the stream
+                                      # kernel's weight-DMA floor; serving
+                                      # knob with a quantization-accuracy
+                                      # cost
     remat: bool = False               # jax.checkpoint the transformer blocks
     seed: int = 0
     image_size: int = 224
@@ -309,6 +315,9 @@ def add_config_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
                         choices=("npz", "orbax"))
     parser.add_argument("--use_pallas_decode", action="store_true")
     parser.add_argument("--use_stream_decode", action="store_true")
+    parser.add_argument("--stream_weight_dtype", type=str,
+                        default=defaults.stream_weight_dtype,
+                        choices=("bfloat16", "int8"))
     parser.add_argument("--tie_output_z", action="store_true")
     parser.add_argument("--num_seq_shards", type=int, default=1,
                         help="size of the 'seq' mesh axis (with "

@@ -81,6 +81,7 @@ class IQ(nn.Module):
                                          cfg.max_target_len),
             use_pallas_decode=cfg.use_pallas_decode,
             use_stream_decode=cfg.use_stream_decode,
+            stream_weight_dtype=cfg.stream_weight_dtype,
             name="decoder")
         self.output_proj = nn.Dense(self.vocab_size, dtype=jnp.float32,
                                     name="output_proj")

@@ -102,13 +102,45 @@ def _cache_buckets(lmax: int):
     return step, tuple(sizes)
 
 
-def _stream_kernel(pos_ref, x_in_ref, lns_ref, wqkv_ref, wout_ref,
-                   kc_ref, vc_ref, wqc_ref, woc_ref, ckc_ref, cvc_ref,
-                   smask_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-                   xout_ref, knew_ref, vnew_ref,
-                   x_sc, xn_sc, acc_sc, *bufs,
+def quantize_stack(w: jnp.ndarray):
+    """Symmetric per-output-column int8 over the contraction axis (-2).
+
+    Same scheme as ops/pallas/int8_matmul.quantize_int8, applied to the
+    stream kernel's stacked weight slices [..., K, N] → (int8 [..., K, N],
+    f32 scales [..., 1, N]).  Quantizing each stacked SLICE (per head /
+    head-group / FFN chunk) keeps the dequant a cheap [1, N] broadcast in
+    the stage that streams it.
+    """
+    w = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(w), axis=-2, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    w8 = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    return w8, scale
+
+
+def _stream_kernel(*refs,
                    nh: int, hc: int, fc: int, head_dim: int, dtype,
-                   nl: int, lmax: int, bucketed: bool):
+                   nl: int, lmax: int, bucketed: bool, quantized: bool):
+    if quantized:
+        (pos_ref, x_in_ref, lns_ref, wqkv_ref, sqkv_ref, wout_ref, sout_ref,
+         kc_ref, vc_ref, wqc_ref, sqc_ref, woc_ref, soc_ref, ckc_ref,
+         cvc_ref, smask_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
+         xout_ref, knew_ref, vnew_ref, x_sc, xn_sc, acc_sc, *bufs) = refs
+    else:
+        (pos_ref, x_in_ref, lns_ref, wqkv_ref, wout_ref,
+         kc_ref, vc_ref, wqc_ref, woc_ref, ckc_ref, cvc_ref,
+         smask_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+         xout_ref, knew_ref, vnew_ref, x_sc, xn_sc, acc_sc, *bufs) = refs
+        sqkv_ref = sout_ref = sqc_ref = soc_ref = s1_ref = s2_ref = None
+
+    def _wblk(ref, sref):
+        """The stage's weight block, dequantized in VMEM when int8-streamed
+        (w8 [K, N] * scale [1, N] → GEMM dtype) — the HBM side stays int8."""
+        w = ref[0, 0]
+        if sref is None:
+            return w
+        return (w.astype(jnp.float32) * sref[0, 0]).astype(dtype)
+
     l = pl.program_id(0)
     s = pl.program_id(1)
     nstage = nh + hc + fc
@@ -180,7 +212,7 @@ def _stream_kernel(pos_ref, x_in_ref, lns_ref, wqkv_ref, wout_ref,
     # ---- self-attention stage (one head) ------------------------------
     @pl.when(s < nh)
     def _self_stage():
-        qkv = _dot(xn_sc[:], wqkv_ref[0, 0])                # [B, 3*Dh] f32
+        qkv = _dot(xn_sc[:], _wblk(wqkv_ref, sqkv_ref))                # [B, 3*Dh] f32
         # round-trip through ``dtype``: the XLA step's fused QKV GEMM
         # produces (and caches) dtype values (ops/attention.py:176-184)
         q = qkv[:, :head_dim].astype(dtype) * scale         # [B, Dh] dtype
@@ -210,7 +242,7 @@ def _stream_kernel(pos_ref, x_in_ref, lns_ref, wqkv_ref, wout_ref,
             ctx = (jnp.sum(e_cache[:, :, None].astype(dtype) * vc,
                            axis=0, dtype=jnp.float32)
                    + e_cur[:, None] * v.astype(jnp.float32)) / den[:, None]
-            partial = _dot(ctx.astype(dtype), wout_ref[0, 0])    # [B, D]
+            partial = _dot(ctx.astype(dtype), _wblk(wout_ref, sout_ref))    # [B, D]
 
             @pl.when(s == 0)
             def _():
@@ -241,7 +273,7 @@ def _stream_kernel(pos_ref, x_in_ref, lns_ref, wqkv_ref, wout_ref,
     def _cross_stage():
         hpc = nh // hc
         b = xn_sc.shape[0]
-        q = _dot(xn_sc[:], wqc_ref[0, 0])                   # [B, hpc*Dh] f32
+        q = _dot(xn_sc[:], _wblk(wqc_ref, sqc_ref))                   # [B, hpc*Dh] f32
         q = (q.astype(dtype) * scale).astype(jnp.float32)
         q = q.reshape(b, hpc, head_dim)
         ck = ckc_ref[0, 0].astype(jnp.float32)              # [Tc, B, hpc*Dh]
@@ -253,7 +285,7 @@ def _stream_kernel(pos_ref, x_in_ref, lns_ref, wqkv_ref, wout_ref,
         cv = cvc_ref[0, 0].astype(jnp.float32).reshape(tc, b, hpc, head_dim)
         ctx = jnp.sum(w[:, :, :, None] * cv, axis=0)        # [B, hpc, Dh]
         partial = _dot(ctx.reshape(b, hpc * head_dim).astype(dtype),
-                       woc_ref[0, 0])                       # [B, D] f32
+                       _wblk(woc_ref, soc_ref))                       # [B, D] f32
 
         @pl.when(s == nh)
         def _():
@@ -270,9 +302,9 @@ def _stream_kernel(pos_ref, x_in_ref, lns_ref, wqkv_ref, wout_ref,
     # ---- FFN stage (one chunk of the pwffn dim) -----------------------
     @pl.when(s >= nh + hc)
     def _ffn_stage():
-        h1 = _dot(xn_sc[:], w1_ref[0, 0]) + b1_ref[0, 0, 0]
+        h1 = _dot(xn_sc[:], _wblk(w1_ref, s1_ref)) + b1_ref[0, 0, 0]
         h1 = jnp.maximum(h1, 0.0)
-        partial = _dot(h1.astype(dtype), w2_ref[0, 0])      # [B, D] f32
+        partial = _dot(h1.astype(dtype), _wblk(w2_ref, s2_ref))      # [B, D] f32
 
         @pl.when(s == nh + hc)
         def _():
@@ -300,8 +332,17 @@ def pick_stages(num_heads: int, pwffn_dim: int) -> tuple:
 def decode_stack_step(x, pos, lns, wqkv, wout, cache_k, cache_v,
                       wqc, woc, ckc, cvc, smask, w1, b1, w2, b2,
                       *, num_heads: int, cross_stages: int, ffn_stages: int,
-                      bucketed_cache: bool = True):
+                      bucketed_cache: bool = True, weight_scales=None):
     """One whole-stack decode step.
+
+    ``weight_scales``: pass ``(sqkv, sout, sqc, soc, s1, s2)`` — the per-
+    column f32 scales from ``quantize_stack`` — together with int8 weight
+    stacks to stream the weights at HALF the HBM bytes; each stage
+    dequantizes its ~0.5-1 MB block in VMEM right before the GEMM (the
+    same hoisting-proof trick as ops/pallas/int8_matmul.py, here applied
+    to the whole-stack pipeline whose weight DMA is the measured floor).
+    Biases, LayerNorms, KV caches and the precomputed cross K/V stay in
+    their original dtypes.
 
     x [B, D]; caches [L, H, Lmax, B, Dh] (READ-only — pos entries come from
     the in-flight K/V); stacked weights as produced by
@@ -353,22 +394,32 @@ def decode_stack_step(x, pos, lns, wqkv, wout, cache_k, cache_v,
     cache_spec = (spec(memory_space=pltpu.ANY) if bucketed_cache
                   else spec((1, 1, lmax, b, dh), self_idx(5),
                             memory_space=vm))
+    quantized = weight_scales is not None
+
+    def wspec(block, idx_map, scale_block=None):
+        """Weight spec; when int8-streaming, follow it with its per-column
+        scale block riding the same index map."""
+        specs = [spec(block, idx_map, memory_space=vm)]
+        if quantized:
+            specs.append(spec(scale_block, idx_map, memory_space=vm))
+        return specs
+
     in_specs = [
         spec(memory_space=pltpu.SMEM),                            # pos
         spec((b, d), lambda l, s: (0, 0), memory_space=vm),       # x
         spec((1, 6, d), lambda l, s: (l, 0, 0), memory_space=vm),  # lns
-        spec((1, 1, d, 3 * dh), self_idx(4), memory_space=vm),    # wqkv
-        spec((1, 1, dh, d), self_idx(4), memory_space=vm),        # wout
+        *wspec((1, 1, d, 3 * dh), self_idx(4), (1, 1, 1, 3 * dh)),  # wqkv
+        *wspec((1, 1, dh, d), self_idx(4), (1, 1, 1, d)),         # wout
         cache_spec,                                               # cache k
         cache_spec,                                               # cache v
-        spec((1, 1, d, hpc * dh), cross_idx(4), memory_space=vm),  # wqc
-        spec((1, 1, hpc * dh, d), cross_idx(4), memory_space=vm),  # woc
+        *wspec((1, 1, d, hpc * dh), cross_idx(4), (1, 1, 1, hpc * dh)),
+        *wspec((1, 1, hpc * dh, d), cross_idx(4), (1, 1, 1, d)),  # woc
         spec((1, 1, tc, b, hpc * dh), cross_idx(5), memory_space=vm),
         spec((1, 1, tc, b, hpc * dh), cross_idx(5), memory_space=vm),
         spec((tc, b), lambda l, s: (0, 0), memory_space=vm),      # smask
-        spec((1, 1, d, fchunk), ffn_idx(4), memory_space=vm),     # w1
+        *wspec((1, 1, d, fchunk), ffn_idx(4), (1, 1, 1, fchunk)),  # w1
         spec((1, 1, 1, fchunk), ffn_idx(4), memory_space=vm),     # b1
-        spec((1, 1, fchunk, d), ffn_idx(4), memory_space=vm),     # w2
+        *wspec((1, 1, fchunk, d), ffn_idx(4), (1, 1, 1, d)),      # w2
         spec((1, 1, d), lambda l, s: (l, 0, 0), memory_space=vm),  # b2
     ]
     out_specs = (
@@ -389,7 +440,17 @@ def decode_stack_step(x, pos, lns, wqkv, wout, cache_k, cache_v,
                     pltpu.SemaphoreType.DMA((2, 2))]
     kernel = functools.partial(_stream_kernel, nh=nh, hc=hc, fc=fc,
                                head_dim=dh, dtype=x.dtype, nl=nl,
-                               lmax=lmax, bucketed=bucketed_cache)
+                               lmax=lmax, bucketed=bucketed_cache,
+                               quantized=quantized)
+    if quantized:
+        sqkv, sout, sqc, soc, s1, s2 = [s.astype(jnp.float32)
+                                        for s in weight_scales]
+        args = (jnp.asarray(pos, jnp.int32).reshape(1), x, lns,
+                wqkv, sqkv, wout, sout, cache_k, cache_v, wqc, sqc,
+                woc, soc, ckc, cvc, smask, w1, s1, b1, w2, s2, b2)
+    else:
+        args = (jnp.asarray(pos, jnp.int32).reshape(1), x, lns, wqkv, wout,
+                cache_k, cache_v, wqc, woc, ckc, cvc, smask, w1, b1, w2, b2)
     return pl.pallas_call(
         kernel,
         grid=(nl, nstage),
@@ -398,5 +459,4 @@ def decode_stack_step(x, pos, lns, wqkv, wout, cache_k, cache_v,
         out_shape=out_shape,
         scratch_shapes=scratch,
         interpret=_interpret(),
-    )(jnp.asarray(pos, jnp.int32).reshape(1), x, lns, wqkv, wout,
-      cache_k, cache_v, wqc, woc, ckc, cvc, smask, w1, b1, w2, b2)
+    )(*args)

@@ -271,6 +271,10 @@ class TransformerDecoder(nn.Module):
     # bucketed: self stages hand-DMA only a prefix bucket of the KV cache
     # (False = full-length blocks on the automatic pipeline)
     stream_bucketed_cache: bool = True
+    # "int8": stream the stacked weights int8 (per-column scales, dequant
+    # in VMEM per stage) — halves the kernel's weight-DMA floor at a
+    # documented quantization-accuracy cost (serving knob)
+    stream_weight_dtype: str = "bfloat16"
 
     def setup(self):
         layer_cls = nn.remat(DecoderLayer) if self.remat else DecoderLayer
@@ -436,14 +440,26 @@ class TransformerDecoder(nn.Module):
                  else jnp.zeros((tc, b), bool)).astype(jnp.int32)
 
         k_all, v_all = caches[0]
+        stacks = [per_layer(wqkv), per_layer(wout), per_layer(wqc),
+                  per_layer(woc), per_layer(w1), per_layer(w2)]
+        scales = None
+        if self.stream_weight_dtype == "int8":
+            # int8 weight streaming: quantize the (loop-invariant, hoisted)
+            # stacks once; the kernel dequantizes per ~0.5-1 MB block in
+            # VMEM, so the decode scan truly streams half the weight bytes
+            from blt_vqg_tpu.ops.pallas.decode_stream import quantize_stack
+            stacks, scales = map(list, zip(*[quantize_stack(w)
+                                             for w in stacks]))
+        s_wqkv, s_wout, s_wqc, s_woc, s_w1, s_w2 = stacks
         x_out, k_new, v_new = decode_stack_step(
-            x_t[:, 0], pos, per_layer(lns), per_layer(wqkv),
-            per_layer(wout), k_all, v_all, per_layer(wqc), per_layer(woc),
+            x_t[:, 0], pos, per_layer(lns), s_wqkv,
+            s_wout, k_all, v_all, s_wqc, s_woc,
             ckv([ck for ck, _ in cross_kvs]),
             ckv([cv for _, cv in cross_kvs]),
-            smask, per_layer(w1), per_layer(b1), per_layer(w2),
+            smask, s_w1, per_layer(b1), s_w2,
             per_layer(b2), num_heads=h, cross_stages=hc, ffn_stages=fc,
-            bucketed_cache=self.stream_bucketed_cache)
+            bucketed_cache=self.stream_bucketed_cache,
+            weight_scales=None if scales is None else tuple(scales))
         k_all = jax.lax.dynamic_update_slice(
             k_all, k_new[:, :, None], (0, 0, pos, 0, 0))
         v_all = jax.lax.dynamic_update_slice(

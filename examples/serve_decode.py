@@ -40,6 +40,12 @@ def main(argv=None):
                         help="whole-stack streaming decode kernel "
                         "(ops/pallas/decode_stream.py; the small-batch "
                         "latency play, 1.07x the XLA path at b64)")
+    parser.add_argument("--stream-weight-dtype", default="bfloat16",
+                        choices=("bfloat16", "int8"),
+                        help="with --stream: int8 streams the decoder "
+                        "weights at half the HBM bytes (per-column scales, "
+                        "in-kernel dequant) — a documented quantization-"
+                        "accuracy tradeoff")
     args = parser.parse_args(argv)
 
     import jax
@@ -53,7 +59,8 @@ def main(argv=None):
 
     cfg = Config.load(os.path.join(args.model_dir, "args.json"))
     cfg = cfg.replace(batch_size=args.batch, decode_early_stop=True,
-                      use_stream_decode=args.stream)
+                      use_stream_decode=args.stream,
+                      stream_weight_dtype=args.stream_weight_dtype)
     vocab = load_vocab(cfg.vocab)
     model = IQ(cfg, len(vocab))
 

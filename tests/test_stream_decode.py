@@ -122,6 +122,119 @@ class TestStreamDecodeStep:
                          method=TransformerDecoder.step)
 
 
+class TestStreamInt8Weights:
+    """stream_weight_dtype="int8": the kernel streams int8 weight stacks and
+    dequantizes per stage in VMEM.  The effective weights are the
+    quantize→dequantize image of the originals under the STACK slicing
+    (quantize_stack: per-column scales over each slice's contraction rows),
+    so the int8 stream path must match the plain XLA path run with params
+    replaced by that image — exactly, not approximately."""
+
+    def _qdq_params(self, params, num_heads, hc, fc):
+        from blt_vqg_tpu.ops.pallas.decode_stream import quantize_stack
+
+        def qdq(w):                       # per-column over all K rows
+            w8, s = quantize_stack(w)
+            return (w8.astype(jnp.float32) * s).astype(w.dtype)
+
+        def qdq_rows(w, n):               # per-column within n row slices
+            k, m = w.shape
+            w8, s = quantize_stack(w.reshape(n, k // n, m))
+            return ((w8.astype(jnp.float32) * s)
+                    .reshape(k, m).astype(w.dtype))
+
+        new = jax.tree_util.tree_map(lambda x: x, params)  # deep-ish copy
+        p = new["params"]
+        for name, layer in p.items():
+            if not name.startswith("layer_"):
+                continue
+            sa, ca = layer["self_attn"], layer["cross_attn"]
+            for proj in ("q_proj", "k_proj", "v_proj"):
+                sa[proj]["kernel"] = qdq(sa[proj]["kernel"])
+                ca[proj]["kernel"] = (qdq(ca[proj]["kernel"])
+                                      if proj == "q_proj"
+                                      else ca[proj]["kernel"])
+            sa["out_proj"]["kernel"] = qdq_rows(sa["out_proj"]["kernel"],
+                                                num_heads)
+            ca["out_proj"]["kernel"] = qdq_rows(ca["out_proj"]["kernel"], hc)
+            ffn = layer["ffn"]
+            ffn["ffn_in"]["kernel"] = qdq(ffn["ffn_in"]["kernel"])
+            ffn["ffn_out"]["kernel"] = qdq_rows(ffn["ffn_out"]["kernel"], fc)
+        return new
+
+    @pytest.mark.parametrize("bucketed", [True, False])
+    def test_matches_dequantized_xla_path(self, bucketed):
+        kw = dict(hidden_dim=32, num_layers=2, num_heads=4, pwffn_dim=64,
+                  attention_dropout=0.0, relu_dropout=0.0,
+                  dtype=jnp.float32, max_decode_len=8)
+        plain = TransformerDecoder(**kw)
+        stream = TransformerDecoder(**kw, use_stream_decode=True,
+                                    stream_bucketed_cache=bucketed,
+                                    stream_weight_dtype="int8")
+        b, tc, d = 2, 3, 32
+        enc = jax.random.normal(jax.random.key(0), (b, tc, d), jnp.float32)
+        x = jax.random.normal(jax.random.key(1), (b, 5, d), jnp.float32)
+        params = plain.init(jax.random.key(2), x, enc)
+        hc, fc = pick_stages(kw["num_heads"], kw["pwffn_dim"])
+        qdq_params = self._qdq_params(
+            jax.tree_util.tree_map(np.asarray, params),
+            kw["num_heads"], hc, fc)
+
+        steps = 5
+
+        def run(model, prm):
+            cross = model.apply(prm, enc,
+                                method=TransformerDecoder.precompute_cross)
+            caches = model.apply(prm, b, steps,
+                                 method=TransformerDecoder.init_cache)
+            outs = []
+            for pos in range(steps):
+                x_t = jax.random.normal(jax.random.fold_in(
+                    jax.random.key(3), pos), (b, 1, d), jnp.float32)
+                y, caches = model.apply(
+                    prm, x_t, caches, cross, jnp.asarray(pos, jnp.int32),
+                    None, method=TransformerDecoder.step)
+                outs.append(np.asarray(y))
+            return outs
+
+        # cross K/V are precomputed activations (never quantized), so the
+        # oracle uses qdq params only for the streamed projections —
+        # cross k/v kernels are untouched by _qdq_params above
+        ref = run(plain, qdq_params)
+        got = run(stream, params)
+        for pos, (a, c) in enumerate(zip(ref, got)):
+            np.testing.assert_allclose(a, c, atol=1e-4, err_msg=f"pos {pos}")
+
+    def test_quantization_error_bounded(self):
+        """Same random decoder, int8 vs bf16-weights stream path: outputs
+        stay close (weight-only int8 with per-column scales)."""
+        kw = dict(hidden_dim=32, num_layers=2, num_heads=4, pwffn_dim=64,
+                  attention_dropout=0.0, relu_dropout=0.0,
+                  dtype=jnp.float32, max_decode_len=8)
+        base = TransformerDecoder(**kw, use_stream_decode=True)
+        quant = TransformerDecoder(**kw, use_stream_decode=True,
+                                   stream_weight_dtype="int8")
+        b, tc, d = 2, 3, 32
+        enc = jax.random.normal(jax.random.key(0), (b, tc, d), jnp.float32)
+        x = jax.random.normal(jax.random.key(1), (b, 5, d), jnp.float32)
+        params = base.init(jax.random.key(2), x, enc)
+        x_t = jax.random.normal(jax.random.key(7), (b, 1, d), jnp.float32)
+
+        def one(model):
+            cross = model.apply(params, enc,
+                                method=TransformerDecoder.precompute_cross)
+            caches = model.apply(params, b, 4,
+                                 method=TransformerDecoder.init_cache)
+            y, _ = model.apply(params, x_t, caches, cross,
+                               jnp.asarray(0, jnp.int32), None,
+                               method=TransformerDecoder.step)
+            return np.asarray(y)
+
+        y0, y1 = one(base), one(quant)
+        rel = np.abs(y1 - y0).max() / (np.abs(y0).max() + 1e-9)
+        assert np.isfinite(y1).all() and rel < 0.05, rel
+
+
 class TestStreamGreedyDecode:
     def test_iq_decode_greedy_and_beam_match(self, vocab_size):
         """Full-model decode: use_stream_decode must emit the same token
