@@ -1,0 +1,103 @@
+"""Serving-accuracy measurement for int8 weight streaming.
+
+Restores the flagship learnable-run checkpoint (a TRAINED model, so
+quantization error is measured where it matters — near-saturated decode
+quality, benchmarks/flagship_learnable.md) and scores greedy decode on the
+held-out val set three ways: XLA path, stream kernel (bf16), stream kernel
+int8 (`--stream_weight_dtype int8`).  Reports NLG metrics + token
+agreement so the int8 serving knob ships with a measured accuracy delta,
+not a hand-wave.
+
+Run ON THE TPU HOST:
+    JAX_COMPILATION_CACHE_DIR=/tmp/jax_compile_cache \
+    PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/eval_stream_int8.py \
+        --model-dir /root/runs/flagship_learnable \
+        --val /root/data_flagship_learn/packed_val [--batches 10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_compile_cache")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model-dir", default="/root/runs/flagship_learnable")
+    ap.add_argument("--val", default="/root/data_flagship_learn/packed_val")
+    ap.add_argument("--batches", type=int, default=10)
+    ap.add_argument("--variants", default="xla,stream,stream_int8")
+    args = ap.parse_args()
+
+    import jax
+
+    from blt_vqg_tpu.core.checkpoint import CheckpointManager
+    from blt_vqg_tpu.core.config import Config
+    from blt_vqg_tpu.data.dataset import example_from_row
+    from blt_vqg_tpu.data.packed import PackedDataset
+    from blt_vqg_tpu.models.iq import IQ
+    from blt_vqg_tpu.text.vocabulary import load_vocab
+    from blt_vqg_tpu.train.nlg_metrics import NLGEval
+    from blt_vqg_tpu.train.state import create_train_state
+    from blt_vqg_tpu.train.step import make_decode_step
+    from blt_vqg_tpu.train.trainer import filter_special_tokens
+
+    cfg = Config.load(os.path.join(args.model_dir, "args.json"))
+    vocab = load_vocab(cfg.vocab)
+    ds = PackedDataset(args.val)
+    b = cfg.batch_size
+    batches = []
+    for i in range(args.batches):
+        raw = ds.batch(np.arange(i * b, (i + 1) * b) % len(ds))
+        batches.append(example_from_row(raw, cfg.input_mode))
+
+    latent = True  # flagship run ends past num_pretraining_steps
+    results = {}
+    ref_tokens = None
+    for name in args.variants.split(","):
+        c = cfg.replace(
+            use_stream_decode=name.startswith("stream"),
+            stream_weight_dtype="int8" if name == "stream_int8"
+            else "bfloat16")
+        model = IQ(c, len(vocab))
+        state = create_train_state(c, model, jax.random.key(0), batches[0])
+        state = CheckpointManager(
+            os.path.join(args.model_dir, "checkpoints"),
+            backend=c.checkpoint_backend).restore(state)
+        step = int(state.step)
+        dec = make_decode_step(c, model, latent_mode=latent,
+                               with_probe=False)
+        hyps, refs, toks = [], [], []
+        for i, batch in enumerate(batches):
+            out = dec(state, batch["images"], batch["context"],
+                      jax.random.key(i))
+            toks.append(np.asarray(out["tokens"]))
+            for row, ref in zip(toks[-1], batch["target"]):
+                hyps.append(" ".join(filter_special_tokens(
+                    vocab.tokens_to_words(row))) or "<empty>")
+                refs.append(" ".join(filter_special_tokens(
+                    vocab.tokens_to_words(ref))) or "<empty>")
+        toks = np.concatenate(toks)
+        scores = NLGEval().compute_metrics([refs], hyps)
+        entry = {k: round(v * 100, 2) for k, v in scores.items()}
+        if ref_tokens is None:
+            ref_tokens = toks
+        else:
+            entry["token_agreement_vs_first"] = round(
+                float((toks == ref_tokens).mean()), 4)
+        results[name] = entry
+        print(f"{name}: {entry}", file=sys.stderr, flush=True)
+
+    print(json.dumps({"step": step, "n": len(batches) * b, **results}))
+
+
+if __name__ == "__main__":
+    main()
