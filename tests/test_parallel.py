@@ -88,7 +88,7 @@ class TestShardedStepParity:
         # single-device baseline
         state0 = create_train_state(cfg, model, jax.random.key(0), batch)
         step0 = make_train_step(cfg, latent_mode=latent_mode)
-        _, m0 = step0(state0, batch, jax.random.key(7))
+        new0, m0 = step0(state0, batch, jax.random.key(7))
 
         # sharded run from identical init
         mesh = build_mesh((4, 2))
@@ -98,13 +98,23 @@ class TestShardedStepParity:
             batch_stats=replicate(state1.batch_stats, mesh),
             opt_state=replicate(state1.opt_state, mesh))
         step1 = make_train_step(cfg, latent_mode=latent_mode, mesh=mesh)
-        _, m1 = step1(state1, shard_batch(batch, mesh), jax.random.key(7))
+        new1, m1 = step1(state1, shard_batch(batch, mesh), jax.random.key(7))
 
         for key in ("loss", "rec", "img", "kld"):
             np.testing.assert_allclose(
                 float(m0[key]), float(m1[key]), rtol=2e-4, atol=1e-5,
                 err_msg=f"{key} diverged under sharding "
                         f"(latent={latent_mode})")
+
+        # sync-BN by construction: the frozen backbone's BatchNorm batch
+        # statistics are means over the GLOBAL batch (jit inserts the
+        # cross-shard reduction), so the updated running stats must equal
+        # the single-device run's — the DP answer to the reference's
+        # cross-replica-BN hazard (SURVEY.md §7 hard parts)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6),
+            new0.batch_stats, new1.batch_stats)
 
     def test_hybrid_mesh_matches_single_device(self, tiny_cfg, vocab_size,
                                                eight_devices):
