@@ -433,7 +433,35 @@ _PEAKS = {
 }
 
 
+def _probe_device(timeout_s: int = 240) -> bool:
+    """Check the accelerator actually answers before committing to the run.
+
+    The tunneled backend makes ``jax.devices()`` HANG (not fail) when the
+    relay is down — observed as a multi-hour outage mid round 3 — and a
+    hung bench records nothing.  Probe in a SUBPROCESS with a timeout so
+    the main process can still emit an honest one-line JSON failure.
+    """
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; d = jax.devices(); "
+             "print(jax.numpy.add(1, 1)); print(d[0].device_kind)"],
+            timeout=timeout_s, capture_output=True, text=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    if not _probe_device():
+        print(json.dumps({
+            "metric": "iq_big_train_samples_per_sec", "value": None,
+            "unit": "samples/sec", "vs_baseline": None,
+            "error": "accelerator unreachable (device probe timed out — "
+                     "tunnel/relay down); rerun when the backend recovers",
+        }))
+        return
     jx = bench_jax()
     try:
         baseline_sps = bench_torch_reference()
