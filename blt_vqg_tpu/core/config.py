@@ -139,6 +139,14 @@ class Config:
                                       # trailing ReLU+dropout quirk
                                       # (transformer_layers.py:400-408) —
                                       # used by golden-parity runs
+    shard_opt_state: bool = False     # ZeRO-1: shard Adam moments (and
+                                      # mixed-precision masters) over the
+                                      # ICI "data" axis — per-device
+                                      # optimizer bytes drop ~|data|x on
+                                      # the bandwidth-bound step; XLA
+                                      # inserts the collectives from the
+                                      # shardings (parallel/sharding.py
+                                      # opt_state_sharding_rules)
     sequence_parallel: bool = False   # shard self-attention sequence dim
                                       # over a "seq" mesh axis (ring
                                       # attention, ops/ring_attention.py);
@@ -308,6 +316,7 @@ def add_config_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     parser.add_argument("--num_model_shards", type=int, default=1,
                         help="size of the 'model' mesh axis")
     parser.add_argument("--use_pallas_attention", action="store_true")
+    parser.add_argument("--shard_opt_state", action="store_true")
     parser.add_argument("--sequence_parallel", action="store_true")
     parser.add_argument("--ring_attention_impl", type=str, default="xla",
                         choices=("xla", "pallas"))

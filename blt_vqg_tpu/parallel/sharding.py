@@ -100,3 +100,52 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
     sharding = NamedSharding(mesh, P())
     return jax.device_put(
         tree, jax.tree.map(lambda _: sharding, tree))
+
+
+# ---------------------------------------------------------------------------
+# ZeRO-1: optimizer-state sharding over the data axis
+# ---------------------------------------------------------------------------
+
+def _zero1_spec(base: P, shape, data_size: int) -> P:
+    """Adds ``data`` to the first unsharded dim divisible by the data-axis
+    size (on top of the leaf's tensor-parallel spec); replicates if no dim
+    qualifies.  Divisibility keeps every shard an even block — uneven
+    GSPMD padding buys nothing here."""
+    specs = list(base) + [None] * (len(shape) - len(base))
+    for i, (s, dim) in enumerate(zip(specs, shape)):
+        if s is None and dim >= data_size and dim % data_size == 0:
+            specs[i] = "data"
+            return P(*specs)
+    return P(*specs)
+
+
+def opt_state_sharding_rules(opt_state: Any, mesh: Mesh) -> Any:
+    """ZeRO-1 shardings for an optimizer-state pytree (scaling-book style:
+    annotate, let XLA insert the collectives).
+
+    Adam moments (and mixed-precision f32 masters) mirror the param tree,
+    so each leaf's path carries its param's name — the tensor-parallel
+    rules apply via the same regexes, and ZeRO adds a ``data``-axis shard
+    on the first free dim.  Per-device optimizer bytes drop ~|data|×
+    (the dominant HBM term of a bandwidth-bound Adam step,
+    benchmarks/METHODOLOGY.md cost attribution).  Scalars (step counts)
+    and ``optax.MaskedNode`` frozen leaves stay replicated.  Scope: the
+    ICI ``data`` axis only — sharding the update over DCN would put the
+    per-step delta all-gather on the slow cross-slice links.
+    """
+    data_size = dict(mesh.shape).get("data", 1)
+
+    def leaf(path, x):
+        if getattr(x, "ndim", 0) == 0 or data_size == 1:
+            return NamedSharding(mesh, P())
+        base = spec_for_param(_path_str(path), x.ndim)
+        return NamedSharding(mesh, _zero1_spec(base, x.shape, data_size))
+
+    return jax.tree_util.tree_map_with_path(leaf, opt_state)
+
+
+def shard_opt_state(opt_state: Any, mesh: Mesh) -> Any:
+    """Places optimizer state with ZeRO-1 shardings (one bulk device_put)."""
+    if mesh.size == 1:
+        return opt_state
+    return jax.device_put(opt_state, opt_state_sharding_rules(opt_state, mesh))

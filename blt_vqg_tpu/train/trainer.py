@@ -160,8 +160,16 @@ class Trainer:
             state = state.replace(
                 params=shard_params(state.params, self.mesh),
                 batch_stats=replicate(state.batch_stats, self.mesh),
-                opt_state=replicate(state.opt_state, self.mesh))
+                opt_state=self._place_opt_state(state.opt_state))
         return state
+
+    def _place_opt_state(self, opt_state):
+        """ZeRO-1 (cfg.shard_opt_state): Adam moments/masters shard over
+        the ``data`` axis; default replicates (bit-faithful DP)."""
+        if getattr(self.cfg, "shard_opt_state", False):
+            from blt_vqg_tpu.parallel.sharding import shard_opt_state
+            return shard_opt_state(opt_state, self.mesh)
+        return replicate(opt_state, self.mesh)
 
     def _disk_dtype(self):
         """On-disk param dtype for checkpoints (None = store as-is)."""
@@ -225,6 +233,11 @@ class Trainer:
                 if not latent and step >= cfg.num_pretraining_steps:
                     latent = True
                     state = state.reset_optimizer()
+                    if self.mesh is not None:
+                        # fresh moments come back replicated; re-place them
+                        # so the latent-phase program keeps the ZeRO layout
+                        state = state.replace(
+                            opt_state=self._place_opt_state(state.opt_state))
                     log.info("phase switch at step %d: latent ON, Adam reset",
                              step)
 

@@ -116,6 +116,51 @@ class TestShardedStepParity:
                 np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6),
             new0.batch_stats, new1.batch_stats)
 
+    def test_zero1_opt_state_matches_replicated(self, tiny_cfg, vocab_size,
+                                                eight_devices):
+        """ZeRO-1 (--shard_opt_state): Adam moments sharded over the data
+        axis must produce the same step as replicated moments (sharding =
+        layout only; XLA inserts the reduce/all-gather), and the moments
+        must be PHYSICALLY sharded (per-device shard < full leaf)."""
+        from blt_vqg_tpu.parallel.sharding import shard_opt_state
+
+        cfg = tiny_cfg
+        model = IQ(cfg, vocab_size)
+        batch = _tiny_batch(cfg, 8)
+        mesh = build_mesh((4, 2))
+
+        def one_step(zero1):
+            state = create_train_state(cfg, model, jax.random.key(0), batch)
+            opt = (shard_opt_state(state.opt_state, mesh) if zero1
+                   else replicate(state.opt_state, mesh))
+            state = state.replace(
+                params=shard_params(state.params, mesh),
+                batch_stats=replicate(state.batch_stats, mesh),
+                opt_state=opt)
+            step = make_train_step(cfg, latent_mode=True, mesh=mesh)
+            for i in range(2):
+                state, m = step(state, shard_batch(batch, mesh),
+                                jax.random.key(7 + i))
+            return state, m
+
+        s0, m0 = one_step(zero1=False)
+        s1, m1 = one_step(zero1=True)
+        for key in ("loss", "rec", "img", "kld"):
+            np.testing.assert_allclose(float(m0[key]), float(m1[key]),
+                                       rtol=2e-4, atol=1e-5, err_msg=key)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6),
+            s0.params, s1.params)
+
+        # the moments really are distributed: some leaf's addressable
+        # shard is a strict slice of the full array
+        mu_leaves = [x for x in jax.tree_util.tree_leaves(s1.opt_state.mu)
+                     if hasattr(x, "addressable_shards") and x.ndim >= 1]
+        assert any(s.data.shape != x.shape
+                   for x in mu_leaves for s in x.addressable_shards), \
+            "no mu leaf is physically sharded"
+
     def test_hybrid_mesh_matches_single_device(self, tiny_cfg, vocab_size,
                                                eight_devices):
         """Slice-aware layout: a (2 dcn_data × 2 data × 2 model) hybrid mesh
