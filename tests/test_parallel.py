@@ -116,15 +116,18 @@ class TestShardedStepParity:
                 np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6),
             new0.batch_stats, new1.batch_stats)
 
+    @pytest.mark.parametrize("fused", [True, False], ids=["fused", "optax"])
     def test_zero1_opt_state_matches_replicated(self, tiny_cfg, vocab_size,
-                                                eight_devices):
+                                                eight_devices, fused):
         """ZeRO-1 (--shard_opt_state): Adam moments sharded over the data
         axis must produce the same step as replicated moments (sharding =
         layout only; XLA inserts the reduce/all-gather), and the moments
-        must be PHYSICALLY sharded (per-device shard < full leaf)."""
+        must be PHYSICALLY sharded (per-device shard < full leaf).  Both
+        optimizer impls: the fused clip+Adam pass and the optax chain
+        (whose state paths carry the same param suffixes)."""
         from blt_vqg_tpu.parallel.sharding import shard_opt_state
 
-        cfg = tiny_cfg
+        cfg = tiny_cfg.replace(fused_adam=fused)
         model = IQ(cfg, vocab_size)
         batch = _tiny_batch(cfg, 8)
         mesh = build_mesh((4, 2))
@@ -154,12 +157,14 @@ class TestShardedStepParity:
             s0.params, s1.params)
 
         # the moments really are distributed: some leaf's addressable
-        # shard is a strict slice of the full array
-        mu_leaves = [x for x in jax.tree_util.tree_leaves(s1.opt_state.mu)
-                     if hasattr(x, "addressable_shards") and x.ndim >= 1]
+        # shard is a strict slice of the full array (generic walk — the
+        # optax chain nests its moments inside multi_transform state)
+        mu_leaves = [x for x in jax.tree_util.tree_leaves(s1.opt_state)
+                     if hasattr(x, "addressable_shards")
+                     and getattr(x, "ndim", 0) >= 1]
         assert any(s.data.shape != x.shape
                    for x in mu_leaves for s in x.addressable_shards), \
-            "no mu leaf is physically sharded"
+            "no optimizer-state leaf is physically sharded"
 
     def test_hybrid_mesh_matches_single_device(self, tiny_cfg, vocab_size,
                                                eight_devices):
