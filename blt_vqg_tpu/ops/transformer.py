@@ -107,7 +107,10 @@ class TransformerEncoder(nn.Module):
     ring_impl: str = "xla"
 
     def setup(self):
-        layer_cls = nn.remat(EncoderLayer) if self.remat else EncoderLayer
+        # deterministic (argnum 3: self, x, mask, deterministic) must stay a
+        # python bool under remat — Dropout branches on it at trace time
+        layer_cls = (nn.remat(EncoderLayer, static_argnums=(3,))
+                     if self.remat else EncoderLayer)
         self.layers = [
             layer_cls(self.hidden_dim, self.num_heads, self.pwffn_dim,
                       self.attention_dropout, self.relu_dropout,
@@ -277,7 +280,10 @@ class TransformerDecoder(nn.Module):
     stream_weight_dtype: str = "bfloat16"
 
     def setup(self):
-        layer_cls = nn.remat(DecoderLayer) if self.remat else DecoderLayer
+        # deterministic is argnum 5 (self, x, enc_out, src_mask, trg_mask,
+        # deterministic) — static for the same Dropout trace-time branch
+        layer_cls = (nn.remat(DecoderLayer, static_argnums=(5,))
+                     if self.remat else DecoderLayer)
         self.layers = [
             layer_cls(self.hidden_dim, self.num_heads, self.pwffn_dim,
                       self.attention_dropout, self.relu_dropout,

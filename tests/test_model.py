@@ -166,3 +166,63 @@ class TestTiedHead:
         assert np.isfinite(float(m["loss"])) and float(m["aux"]) > 0
         after = np.asarray(state.params["output_proj"]["kernel"])
         assert np.abs(after - before).max() > 0  # the shared head moved
+
+
+class TestConfigFlagSmoke:
+    """End-to-end wiring for config flags whose feature tests exercise the
+    op directly but never the cfg→model path."""
+
+    def _batch(self, cfg, vocab_size, b=4):
+        r = np.random.RandomState(0)
+        return {
+            "images": r.rand(b, cfg.image_size, cfg.image_size, 3
+                             ).astype(np.float32),
+            "context": r.randint(1, vocab_size, (b, cfg.max_context_len)
+                                 ).astype(np.int32),
+            "posterior": r.randint(1, vocab_size, (b, cfg.max_posterior_len)
+                                   ).astype(np.int32),
+            "target": r.randint(1, vocab_size, (b, cfg.max_q_length)
+                                ).astype(np.int32),
+        }
+
+    def test_remat_matches_baseline(self, tiny_cfg, vocab_size):
+        """cfg.remat (jax.checkpoint per transformer block) recomputes the
+        SAME ops in the backward — the train step must match the
+        non-remat step numerically, both phases."""
+        from blt_vqg_tpu.train.state import create_train_state
+        from blt_vqg_tpu.train.step import make_train_step
+
+        batch = self._batch(tiny_cfg, vocab_size)
+        metrics = {}
+        for remat in (False, True):
+            cfg = tiny_cfg.replace(remat=remat)
+            model = IQ(cfg, vocab_size)
+            state = create_train_state(cfg, model, jax.random.key(0), batch)
+            for latent in (False, True):
+                step = make_train_step(cfg, latent_mode=latent)
+                state, m = step(state, batch, jax.random.key(7))
+                metrics[(remat, latent)] = {
+                    k: float(m[k]) for k in ("loss", "rec", "img", "kld")}
+        for latent in (False, True):
+            for k, v in metrics[(False, latent)].items():
+                np.testing.assert_allclose(
+                    v, metrics[(True, latent)][k], rtol=1e-5, atol=1e-6,
+                    err_msg=f"remat changed {k} (latent={latent})")
+
+    def test_pallas_attention_trains(self, tiny_cfg, vocab_size):
+        """cfg.use_pallas_attention routes training attention through the
+        flash kernel (interpret mode off-TPU): step runs, loss finite.
+        (Exact parity with the einsum path is the kernel suite's job —
+        tests/test_flash_attention.py; the documented dead-row contract
+        difference makes bitwise equality here intentionally out of scope.)"""
+        from blt_vqg_tpu.train.state import create_train_state
+        from blt_vqg_tpu.train.step import make_train_step
+
+        cfg = tiny_cfg.replace(use_pallas_attention=True)
+        model = IQ(cfg, vocab_size)
+        batch = self._batch(cfg, vocab_size)
+        state = create_train_state(cfg, model, jax.random.key(0), batch)
+        for latent in (False, True):
+            step = make_train_step(cfg, latent_mode=latent)
+            state, m = step(state, batch, jax.random.key(3))
+            assert np.isfinite(float(m["loss"])), (latent, m)
