@@ -139,6 +139,15 @@ class Config:
                                       # trailing ReLU+dropout quirk
                                       # (transformer_layers.py:400-408) —
                                       # used by golden-parity runs
+    pipeline_stages: int = 1          # GPipe over a "pipe" mesh axis
+                                      # (parallel/pipeline.py): >1 splits
+                                      # the DECODER stack into stages with
+                                      # microbatched activations hopping
+                                      # via ppermute; training forward only
+                                      # (decode serves via DP/TP).  The
+                                      # mesh must carry a "pipe" axis of
+                                      # this size.
+    pipeline_microbatches: int = 2    # microbatches per pipeline step
     shard_opt_state: bool = False     # ZeRO-1: shard Adam moments (and
                                       # mixed-precision masters) over the
                                       # ICI "data" axis — per-device
@@ -316,6 +325,10 @@ def add_config_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     parser.add_argument("--num_model_shards", type=int, default=1,
                         help="size of the 'model' mesh axis")
     parser.add_argument("--use_pallas_attention", action="store_true")
+    parser.add_argument("--pipeline_stages", type=int,
+                        default=defaults.pipeline_stages)
+    parser.add_argument("--pipeline_microbatches", type=int,
+                        default=defaults.pipeline_microbatches)
     parser.add_argument("--shard_opt_state", action="store_true")
     parser.add_argument("--sequence_parallel", action="store_true")
     parser.add_argument("--ring_attention_impl", type=str, default="xla",

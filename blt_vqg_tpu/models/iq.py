@@ -82,6 +82,9 @@ class IQ(nn.Module):
             use_pallas_decode=cfg.use_pallas_decode,
             use_stream_decode=cfg.use_stream_decode,
             stream_weight_dtype=cfg.stream_weight_dtype,
+            pipeline_stages=cfg.pipeline_stages,
+            pipeline_microbatches=cfg.pipeline_microbatches,
+            pipeline_mesh=(self.mesh if cfg.pipeline_stages > 1 else None),
             name="decoder")
         self.output_proj = nn.Dense(self.vocab_size, dtype=jnp.float32,
                                     name="output_proj")

@@ -16,7 +16,7 @@ causal masking), redesigned for XLA:
 
 from __future__ import annotations
 
-from typing import List, Tuple
+from typing import Any, List, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -278,6 +278,11 @@ class TransformerDecoder(nn.Module):
     # in VMEM per stage) — halves the kernel's weight-DMA floor at a
     # documented quantization-accuracy cost (serving knob)
     stream_weight_dtype: str = "bfloat16"
+    # GPipe over a "pipe" mesh axis (parallel/pipeline.py): >1 splits the
+    # layer stack into stages; training forward only (decode uses DP/TP)
+    pipeline_stages: int = 1
+    pipeline_microbatches: int = 2
+    pipeline_mesh: Any = None
 
     def setup(self):
         # deterministic is argnum 5 (self, x, enc_out, src_mask, trg_mask,
@@ -302,9 +307,44 @@ class TransformerDecoder(nn.Module):
         t = x.shape[1]
         x = self.in_dropout(x, deterministic=deterministic)
         x = x + timing_signal(t, self.hidden_dim, dtype=x.dtype)
+        # init traces the sequential path (layer params don't exist to be
+        # stacked yet — and the trees are identical either way)
+        if self.pipeline_stages > 1 and not self.is_initializing():
+            return self.final_ln(self._pipelined(
+                x, enc_out, src_mask, trg_mask, deterministic))
         for layer in self.layers:
             x = layer(x, enc_out, src_mask, trg_mask, deterministic)
         return self.final_ln(x)
+
+    def _pipelined(self, x, enc_out, src_mask, trg_mask, deterministic):
+        """GPipe over a ``pipe`` mesh axis (parallel/pipeline.py): the layer
+        stack split into ``pipeline_stages`` stages, microbatched activations
+        hopping stage→stage via ppermute.  The uniform layers make the stack
+        scan-compatible: params are stacked [L, ...] (loop-invariant — XLA
+        hoists the stacking) and one functional layer apply serves every
+        stage.  Dropout draws from a fold_in(layer, microbatch) stream — a
+        VALID dropout pattern but a different one than the sequential path,
+        so exact-parity tests run deterministic.
+        """
+        from blt_vqg_tpu.parallel.pipeline import pipeline_apply
+
+        stacked = jax.tree.map(
+            lambda *ls: jnp.stack(ls),
+            *[layer.variables["params"] for layer in self.layers])
+        template = self.layers[0]
+        rng = (None if deterministic
+               else self.make_rng("dropout"))
+
+        def layer_fn(p, x_mb, bargs, key):
+            enc_mb, src_mb, trg_mb = bargs
+            rngs = None if key is None else {"dropout": key}
+            return template.apply({"params": p}, x_mb, enc_mb, src_mb,
+                                  trg_mb, deterministic, rngs=rngs)
+
+        return pipeline_apply(
+            layer_fn, stacked, x, self.pipeline_mesh,
+            microbatches=self.pipeline_microbatches,
+            batch_args=(enc_out, src_mask, trg_mask), rng=rng)
 
     # ---- decode path ----
     def precompute_cross(self, enc_out) -> List[Tuple[jnp.ndarray, jnp.ndarray]]:

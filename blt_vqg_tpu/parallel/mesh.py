@@ -12,8 +12,12 @@ Strategy coverage (SURVEY.md §2.4):
 - DP: first-class (``data`` axis; per-host loading via core/distributed.py).
 - TP: first-class (``model`` axis, Megatron pattern in sharding.py).
 - Trial parallelism: train/tune.py (ASHA) — one accelerator per trial.
-- PP: intentionally out of scope — the flagship is 6 layers; pipelining
-  would add bubbles for no memory win at this depth.
+- PP: first-class capability (parallel/pipeline.py): GPipe microbatch
+  schedule over a ``pipe`` axis for the decoder stack
+  (``cfg.pipeline_stages``), activations hopping via ppermute, backward =
+  jax.grad through the schedule.  At the flagship's 6 layers it adds
+  bubbles for no memory win (SURVEY §2.4's point stands) — it exists for
+  deeper variants and is parity-tested fwd+grad on the virtual mesh.
 - SP/CP: first-class for long-context variants — ``cfg.sequence_parallel``
   routes encoder/decoder self-attention through ring attention
   (ops/ring_attention.py) over a ``seq`` mesh axis, composing with DP/TP

@@ -93,7 +93,9 @@ class Trainer:
             self.model = IQRNN(cfg, len(vocab))
         else:
             self.model = IQ(cfg, len(vocab),
-                            mesh=(mesh if cfg.sequence_parallel else None))
+                            mesh=(mesh if (cfg.sequence_parallel
+                                           or cfg.pipeline_stages > 1)
+                                  else None))
         self.rngs = RngStream(cfg.seed)
         self.nlge = NLGEval(no_glove=True, no_skipthoughts=True)
         self.writer = MetricWriter(cfg.output_dir)
