@@ -148,6 +148,12 @@ class Config:
                                       # mesh must carry a "pipe" axis of
                                       # this size.
     pipeline_microbatches: int = 2    # microbatches per pipeline step
+    fsdp: bool = False                # ZeRO-3 style: shard every large
+                                      # param's first free dim over the
+                                      # ICI "data" axis (annotation-only;
+                                      # XLA inserts per-use all-gathers
+                                      # and grad reduce-scatters); implies
+                                      # sharded optimizer state
     shard_opt_state: bool = False     # ZeRO-1: shard Adam moments (and
                                       # mixed-precision masters) over the
                                       # ICI "data" axis — per-device
@@ -329,6 +335,7 @@ def add_config_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
                         default=defaults.pipeline_stages)
     parser.add_argument("--pipeline_microbatches", type=int,
                         default=defaults.pipeline_microbatches)
+    parser.add_argument("--fsdp", action="store_true")
     parser.add_argument("--shard_opt_state", action="store_true")
     parser.add_argument("--sequence_parallel", action="store_true")
     parser.add_argument("--ring_attention_impl", type=str, default="xla",

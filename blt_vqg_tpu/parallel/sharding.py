@@ -58,14 +58,29 @@ def spec_for_param(path_str: str, ndim: int) -> P:
     return P()
 
 
-def param_sharding_rules(params: Any, mesh: Mesh) -> Any:
-    """Pytree of NamedShardings matching ``params``' structure."""
+def param_sharding_rules(params: Any, mesh: Mesh,
+                         fsdp: bool = False) -> Any:
+    """Pytree of NamedShardings matching ``params``' structure.
+
+    ``fsdp=True`` (ZeRO-3 style) additionally shards every leaf's first
+    free dim over the ICI ``data`` axis, on top of its tensor-parallel
+    spec — per-device param (and, since gradients inherit param
+    shardings, grad) bytes drop ~|data|×.  Annotation-only: XLA inserts
+    the per-use all-gathers in forward/backward and reduce-scatters the
+    gradients.  Leaves with no evenly divisible free dim stay replicated
+    over data (norms, biases).
+    """
+    data_size = dict(mesh.shape).get("data", 1)
+
     def leaf(path, x):
-        return NamedSharding(mesh, spec_for_param(_path_str(path), x.ndim))
+        spec = spec_for_param(_path_str(path), x.ndim)
+        if fsdp and x.ndim >= 1 and data_size > 1:
+            spec = _zero1_spec(spec, x.shape, data_size)
+        return NamedSharding(mesh, spec)
     return jax.tree_util.tree_map_with_path(leaf, params)
 
 
-def shard_params(params: Any, mesh: Mesh) -> Any:
+def shard_params(params: Any, mesh: Mesh, fsdp: bool = False) -> Any:
     """Places ``params`` on the mesh according to the rules.
 
     Single bulk ``device_put`` (per-leaf puts issue one transfer RPC each —
@@ -74,7 +89,7 @@ def shard_params(params: Any, mesh: Mesh) -> Any:
     """
     if mesh.size == 1:
         return params
-    shardings = param_sharding_rules(params, mesh)
+    shardings = param_sharding_rules(params, mesh, fsdp=fsdp)
     return jax.device_put(params, shardings)
 
 

@@ -160,15 +160,18 @@ class Trainer:
             log.info("resumed from step %d", int(state.step))
         if self.mesh is not None:
             state = state.replace(
-                params=shard_params(state.params, self.mesh),
+                params=shard_params(state.params, self.mesh,
+                                    fsdp=getattr(self.cfg, "fsdp", False)),
                 batch_stats=replicate(state.batch_stats, self.mesh),
                 opt_state=self._place_opt_state(state.opt_state))
         return state
 
     def _place_opt_state(self, opt_state):
-        """ZeRO-1 (cfg.shard_opt_state): Adam moments/masters shard over
-        the ``data`` axis; default replicates (bit-faithful DP)."""
-        if getattr(self.cfg, "shard_opt_state", False):
+        """ZeRO-1 (cfg.shard_opt_state) or FSDP (cfg.fsdp, whose sharded
+        params imply sharded moments): Adam moments/masters shard over the
+        ``data`` axis; default replicates (bit-faithful DP)."""
+        if (getattr(self.cfg, "shard_opt_state", False)
+                or getattr(self.cfg, "fsdp", False)):
             from blt_vqg_tpu.parallel.sharding import shard_opt_state
             return shard_opt_state(opt_state, self.mesh)
         return replicate(opt_state, self.mesh)

@@ -166,6 +166,47 @@ class TestShardedStepParity:
                    for x in mu_leaves for s in x.addressable_shards), \
             "no optimizer-state leaf is physically sharded"
 
+    def test_fsdp_matches_replicated(self, tiny_cfg, vocab_size,
+                                     eight_devices):
+        """FSDP (--fsdp): params sharded over the data axis (on top of TP)
+        must train identically to replicated params — XLA's per-use
+        all-gathers and grad reduce-scatters are layout, not math — and the
+        params must be PHYSICALLY sharded."""
+        from blt_vqg_tpu.parallel.sharding import shard_opt_state
+
+        cfg = tiny_cfg
+        model = IQ(cfg, vocab_size)
+        batch = _tiny_batch(cfg, 8)
+        mesh = build_mesh((4, 2))
+
+        def one_step(fsdp):
+            state = create_train_state(cfg, model, jax.random.key(0), batch)
+            state = state.replace(
+                params=shard_params(state.params, mesh, fsdp=fsdp),
+                batch_stats=replicate(state.batch_stats, mesh),
+                opt_state=(shard_opt_state(state.opt_state, mesh) if fsdp
+                           else replicate(state.opt_state, mesh)))
+            step = make_train_step(cfg, latent_mode=True, mesh=mesh)
+            for i in range(2):
+                state, m = step(state, shard_batch(batch, mesh),
+                                jax.random.key(11 + i))
+            return state, m
+
+        s0, m0 = one_step(fsdp=False)
+        s1, m1 = one_step(fsdp=True)
+        for key in ("loss", "rec", "img", "kld"):
+            np.testing.assert_allclose(float(m0[key]), float(m1[key]),
+                                       rtol=2e-4, atol=1e-5, err_msg=key)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6),
+            s0.params, s1.params)
+        p_leaves = [x for x in jax.tree_util.tree_leaves(s1.params)
+                    if hasattr(x, "addressable_shards") and x.ndim >= 1]
+        assert any(len({s.data.shape for s in x.addressable_shards})
+                   == 1 and x.addressable_shards[0].data.shape != x.shape
+                   for x in p_leaves), "no param leaf is physically sharded"
+
     def test_hybrid_mesh_matches_single_device(self, tiny_cfg, vocab_size,
                                                eight_devices):
         """Slice-aware layout: a (2 dcn_data × 2 data × 2 model) hybrid mesh
