@@ -199,6 +199,23 @@ def bench_jax() -> dict:
 
     decode_qps_stream = BATCH / _slope_time(run_stream, 3, 13)
 
+    # ---- int8 weight streaming: same kernel, stacked weights quantized
+    # (per-column scales) and dequantized in VMEM per stage — half the
+    # weight-DMA floor (serving knob with a quantization-accuracy cost;
+    # accuracy measured by benchmarks/eval_stream_int8.py)
+    cfg_s8 = cfg.replace(use_stream_decode=True, stream_weight_dtype="int8")
+    model_s8 = IQ(cfg_s8, vocab_size)
+    dec_s8 = make_decode_step(cfg_s8, model_s8, latent_mode=True,
+                              with_probe=False)
+
+    def run_s8(k):
+        for i in range(k):
+            out = dec_s8(state, batch["images"], batch["context"],
+                         jax.random.key(i))
+        return float(tok_sum(out["tokens"]))
+
+    decode_qps_stream_int8 = BATCH / _slope_time(run_s8, 3, 13)
+
     # ---- serving-throughput decode: the decode chain is LATENCY-bound
     # (benchmarks/METHODOLOGY.md), so a bigger batch amortizes it —
     # batch 512 is the throughput-serving configuration
@@ -268,7 +285,8 @@ def bench_jax() -> dict:
     log(f"jax[{platform}]: {train_sps:.1f} samples/s train (b64), "
         f"{train_sps_diet:.1f} diet, "
         f"{train_sps_256:.1f} (b256), {decode_qps:.1f} q/s serving decode "
-        f"({decode_qps_stream:.1f} stream-kernel, {decode_qps_probe:.1f} "
+        f"({decode_qps_stream:.1f} stream-kernel, "
+        f"{decode_qps_stream_int8:.1f} stream-int8, {decode_qps_probe:.1f} "
         f"probed, {decode_qps_512:.1f} @b512), "
         f"compile {compile_s:.1f}s")
     return {"train_sps": train_sps, "train_sps_single": train_sps_single,
@@ -276,6 +294,7 @@ def bench_jax() -> dict:
             "decode_qps": decode_qps, "decode_qps_probe": decode_qps_probe,
             "decode_qps_512": decode_qps_512,
             "decode_qps_stream": decode_qps_stream,
+            "decode_qps_stream_int8": decode_qps_stream_int8,
             "platform": platform, "compile_s": compile_s,
             "step_ms": step_ms,
             "step_flops": step_flops, "step_bytes": step_bytes,
@@ -512,6 +531,8 @@ def main():
         "decode_questions_per_sec_batch512": round(jx["decode_qps_512"], 2),
         "decode_questions_per_sec_stream_kernel": round(
             jx["decode_qps_stream"], 2),
+        "decode_questions_per_sec_stream_int8": round(
+            jx["decode_qps_stream_int8"], 2),
         "compile_s": round(jx["compile_s"], 1),
         "methodology": "readback-synchronized two-point slope (this box's "
         "tunneled backend returns from block_until_ready before device "
