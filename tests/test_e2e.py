@@ -130,3 +130,47 @@ class TestProfiler:
         traced = [os.path.join(r, f) for r, _, fs in os.walk(prof)
                   for f in fs]
         assert traced, "no profiler artifacts written"
+
+
+class TestCheckpointDtypeWiring:
+    def test_checkpoint_param_dtype_cfg_wiring(self, setup, tmp_path):
+        """cfg.checkpoint_param_dtype='bfloat16' flows through the Trainer's
+        save path (_disk_dtype → ckpt.save on_disk_param_dtype): the on-disk
+        float params are bf16, restore upcasts to the template dtype, and a
+        resumed Trainer trains on."""
+        cfg, vocab, h5 = setup
+        cfg = cfg.replace(output_dir=str(tmp_path / "run_bf16ckpt"),
+                          checkpoint_param_dtype="bfloat16",
+                          total_training_steps=3,
+                          num_pretraining_steps=2, checkpoint_every=100)
+        ds = IQDataset(h5, vocab)
+        trainer = Trainer(cfg, vocab)
+        it = make_loader(ds, cfg.batch_size, "ans", seed=0)
+        first = next(it)
+        state = trainer.init_state(
+            {k: first[k] for k in ("images", "context", "posterior",
+                                   "target")}, resume=False)
+        state = trainer.fit(state, it, None)
+
+        # on-disk float params are bf16: npz stores non-native dtypes as
+        # void bytes with their true dtype under __dtype__/<key>
+        import glob as _glob
+        stores = sorted(_glob.glob(os.path.join(
+            cfg.output_dir, "checkpoints", "*", "*.npz")))
+        assert stores, "no checkpoint store written"
+        with np.load(stores[-1]) as z:
+            recorded = {str(z[k]) for k in z.files
+                        if k.startswith("__dtype__/")
+                        and "/params/" in k}
+        assert recorded == {"bfloat16"}, recorded
+
+        # restore upcasts to the template dtype and training continues
+        trainer2 = Trainer(cfg.replace(total_training_steps=4), vocab)
+        state2 = trainer2.init_state(
+            {k: first[k] for k in ("images", "context", "posterior",
+                                   "target")}, resume=True)
+        assert int(state2.step) == 3
+        leaf = jax.tree_util.tree_leaves(state2.params)[0]
+        assert leaf.dtype.name == "float32", leaf.dtype
+        state2 = trainer2.fit(state2, it, None)
+        assert int(state2.step) == 4
