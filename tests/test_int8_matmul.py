@@ -56,3 +56,23 @@ class TestInt8Matmul:
         rel = float(jnp.max(jnp.abs(out.astype(jnp.float32) - true))
                     / jnp.max(jnp.abs(true)))
         assert rel < 0.05, rel
+
+
+class TestQuantizeStack:
+    def test_roundtrip_error_bound(self):
+        """Symmetric per-column int8: |dequant - w| <= scale/2 elementwise
+        (round-to-nearest), scales positive, int8 range respected."""
+        from blt_vqg_tpu.ops.pallas.decode_stream import quantize_stack
+        r = np.random.RandomState(0)
+        w = jnp.asarray(r.randn(3, 2, 64, 48).astype(np.float32))
+        w8, s = quantize_stack(w)
+        assert w8.dtype == jnp.int8 and s.shape == (3, 2, 1, 48)
+        assert int(jnp.max(jnp.abs(w8.astype(jnp.int32)))) <= 127
+        deq = w8.astype(jnp.float32) * s
+        err = np.asarray(jnp.abs(deq - w))
+        bound = np.asarray(s) / 2 + 1e-7
+        assert (err <= bound).all(), float((err - bound).max())
+        # columns scale independently: zero column quantizes exactly
+        w2 = w.at[..., 0].set(0.0)
+        w8b, sb = quantize_stack(w2)
+        np.testing.assert_array_equal(np.asarray(w8b[..., 0]), 0)
