@@ -1,26 +1,32 @@
-"""METEOR — exact + stem matcher stages with chunk-minimizing alignment.
+"""METEOR — all four METEOR-1.5 matcher stages with chunk-minimizing
+alignment.
 
 The reference computes METEOR through the nlg_eval submodule's Java
 METEOR-1.5 jar (reference utils/__init__.py:2, train_iq.py:41, 196, 236).
 This is an offline-buildable re-implementation of that scorer's algorithm:
 
-- matcher stages: EXACT (weight 1.0) and STEM (weight 0.6, in-repo Porter
-  stemmer below) — the jar's additional SYNONYM (WordNet) and PARAPHRASE
-  (paraphrase-table) stages need data files that cannot ship here; their
-  absence means scores can be *lower* than the jar's on hypotheses that
-  match references only through synonymy.  This is the documented delta
-  from METEOR-1.5.
-- alignment: the jar's Aligner semantics — a one-to-one matching chosen by
-  beam search to (1) maximize covered words, then (2) MINIMIZE CHUNKS,
-  then (3) minimize the sum of absolute match-position distances.  (The
-  previous "METEOR-lite" used greedy left-to-right alignment, which
-  over-counts chunks; regression cases live in tests/test_meteor.py.)
+- matcher stages: EXACT (weight 1.0), STEM (0.6, in-repo Porter stemmer
+  below), SYNONYM (0.8 — shared-synset match against a pluggable table;
+  the vendored minimal table lives in train/meteor_data.py because the
+  WordNet corpus cannot ship in this image), and PARAPHRASE (0.6 —
+  multi-word span matches against a pluggable paraphrase table).  Every
+  vendored-table match is one the jar would also fire, so the remaining
+  delta vs the jar is one-sided (ours ≤ jar's where its bigger tables
+  fire; quantified in tests/test_meteor.py + PARITY.md §2.3 #22).
+- alignment: the jar's Aligner semantics — a one-to-one matching (over
+  token SPANS; singles for exact/stem/synonym) chosen by beam search to
+  (1) maximize covered words, then (2) MINIMIZE CHUNKS, then (3) minimize
+  the sum of absolute match-position distances.  (The previous
+  "METEOR-lite" used greedy left-to-right alignment, which over-counts
+  chunks; regression cases live in tests/test_meteor.py.)
 - parameters: the jar's English defaults — alpha=0.85, beta=0.2,
   gamma=0.6, delta=0.75 (content-vs-function word weight; function-word
   list embedded below, approximating the jar's ``function/en.words``).
 - aggregation: corpus score from summed sufficient statistics (micro
   average), per-segment best reference — exactly the jar's test-set score,
-  NOT a mean of segment scores.
+  NOT a mean of segment scores.  With phrase matches the hyp- and ref-side
+  matched word counts can differ; fragmentation uses their average,
+  as the jar does.
 - perfect-alignment special case: a single chunk that covers BOTH strings
   entirely carries zero fragmentation (identical segments score exactly
   1.0); with the 1.5-tuned beta=0.2/gamma=0.6 the penalty curve is steep
@@ -37,7 +43,7 @@ which is what the STEM stage exists for.
 from __future__ import annotations
 
 import math
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 # jar English defaults (meteor-1.5 Parameters for -l en)
 ALPHA = 0.85
@@ -46,7 +52,10 @@ GAMMA = 0.6
 DELTA = 0.75
 W_EXACT = 1.0
 W_STEM = 0.6
+W_SYN = 0.8
+W_PAR = 0.6
 BEAM = 40  # the jar Aligner's beam width
+MAX_PHRASE = 5  # longest phrase considered by the PARAPHRASE stage
 
 # Approximation of meteor-1.5's function/en.words (common closed-class
 # English words; the jar derives its list from corpus frequency).
@@ -200,68 +209,138 @@ def porter_stem(word: str) -> str:
     return w
 
 
+# ------------------------------------------------- pluggable stage tables
+_DEFAULT_SYN: Optional[Dict[str, frozenset]] = None
+_DEFAULT_PAR: Optional[Dict[tuple, tuple]] = None
+
+
+def build_synonym_map(groups) -> Dict[str, frozenset]:
+    """word → frozenset of group ids; SYNONYM-match = shared group
+    (= shared WordNet synset in the jar)."""
+    by_word: Dict[str, set] = {}
+    for gid, group in enumerate(groups):
+        for w in group:
+            by_word.setdefault(w, set()).add(gid)
+    return {w: frozenset(g) for w, g in by_word.items()}
+
+
+def build_paraphrase_map(pairs) -> Dict[tuple, tuple]:
+    """phrase-tuple → tuple of equivalent phrase-tuples (symmetric +
+    transitive closure within each listed pair; phrases whitespace-split)."""
+    by_phrase: Dict[tuple, set] = {}
+    for a, b in pairs:
+        ta, tb = tuple(a.split()), tuple(b.split())
+        by_phrase.setdefault(ta, set()).add(tb)
+        by_phrase.setdefault(tb, set()).add(ta)
+    return {k: tuple(sorted(v)) for k, v in by_phrase.items()}
+
+
+def _default_tables():
+    global _DEFAULT_SYN, _DEFAULT_PAR
+    if _DEFAULT_SYN is None:
+        from blt_vqg_tpu.train.meteor_data import (PARAPHRASES,
+                                                   SYNONYM_GROUPS)
+        _DEFAULT_SYN = build_synonym_map(SYNONYM_GROUPS)
+        _DEFAULT_PAR = build_paraphrase_map(PARAPHRASES)
+    return _DEFAULT_SYN, _DEFAULT_PAR
+
+
 # -------------------------------------------------------------- aligner
-def _match_stages(hyp: Sequence[str], ref: Sequence[str]
-                  ) -> List[List[Tuple[int, float]]]:
-    """cands[i] = [(j, stage_weight)] for hyp token i, best stage per pair
-    (EXACT shadows STEM for the same pair)."""
+def _match_stages(hyp: Sequence[str], ref: Sequence[str],
+                  syn_map: Optional[Dict[str, frozenset]],
+                  par_map: Optional[Dict[tuple, tuple]]
+                  ) -> List[List[Tuple[int, float, int, int]]]:
+    """cands[i] = [(j, stage_weight, hyp_len, ref_len)] for matches whose
+    hyp span STARTS at i; best stage per identical span pair (EXACT shadows
+    STEM shadows SYNONYM; PARAPHRASE contributes the multi-word spans)."""
     ref_stems = [porter_stem(r) for r in ref]
     hyp_stems = [porter_stem(h) for h in hyp]
-    cands: List[List[Tuple[int, float]]] = []
+    cands: List[List[Tuple[int, float, int, int]]] = []
     for i, h in enumerate(hyp):
-        row = []
+        row: List[Tuple[int, float, int, int]] = []
         for j, r in enumerate(ref):
             if h == r:
-                row.append((j, W_EXACT))
+                row.append((j, W_EXACT, 1, 1))
             elif hyp_stems[i] == ref_stems[j]:
-                row.append((j, W_STEM))
+                row.append((j, W_STEM, 1, 1))
+            elif (syn_map is not None
+                  and syn_map.get(h, frozenset())
+                  & syn_map.get(r, frozenset())):
+                row.append((j, W_SYN, 1, 1))
         cands.append(row)
+    if par_map:
+        # phrase spans: hyp[i:i+lh] vs every ref occurrence of a listed
+        # equivalent; 1:1 single-word pairs already covered above keep
+        # their higher-stage weight (skip duplicates)
+        singles = {(i, c[0]) for i, r in enumerate(cands) for c in r}
+        for i in range(len(hyp)):
+            for lh in range(1, min(MAX_PHRASE, len(hyp) - i) + 1):
+                ph = tuple(hyp[i:i + lh])
+                for pr in par_map.get(ph, ()):
+                    lr = len(pr)
+                    for j in range(len(ref) - lr + 1):
+                        if tuple(ref[j:j + lr]) != pr:
+                            continue
+                        if lh == 1 and lr == 1 and (i, j) in singles:
+                            continue
+                        cands[i].append((j, W_PAR, lh, lr))
     return cands
 
 
-def align(hyp: Sequence[str], ref: Sequence[str]
-          ) -> List[Tuple[int, int, float]]:
-    """One-to-one alignment [(hyp_i, ref_j, stage_weight)] — beam search
-    per the jar's Aligner: maximize matches, then minimize chunks, then
-    minimize the summed |i-j| distance."""
-    cands = _match_stages(hyp, ref)
+def align(hyp: Sequence[str], ref: Sequence[str],
+          syn_map: Optional[Dict[str, frozenset]] = None,
+          par_map: Optional[Dict[tuple, tuple]] = None
+          ) -> List[Tuple[int, int, float, int, int]]:
+    """One-to-one span alignment [(hyp_i, ref_j, stage_weight, hyp_len,
+    ref_len)] — beam search per the jar's Aligner: maximize covered words,
+    then minimize chunks, then minimize the summed |i-j| distance.
+    Processed as a DP over hyp positions so multi-word (paraphrase) spans
+    advance the position by their length."""
+    cands = _match_stages(hyp, ref, syn_map, par_map)
+    n = len(hyp)
 
-    # state: (matches, chunks, dist, used_ref_frozenset, last_pair, pairs)
-    # ranked by (-matches, chunks, dist)
+    # state: (covered, chunks, dist, used_ref_frozenset, last_ends, pairs)
+    # covered = hyp+ref matched word count; ranked by (-covered, chunks,
+    # dist, -stage_weight_sum)
     start = (0, 0, 0, frozenset(), None, ())
-    beam = [start]
-    for i in range(len(hyp)):
-        nxt = []
-        for matches, chunks, dist, used, last, pairs in beam:
-            # skip hyp[i]
-            nxt.append((matches, chunks, dist, used, last, pairs))
-            for j, w in cands[i]:
-                if j in used:
-                    continue
-                contiguous = (last is not None
-                              and last[0] == i - 1 and last[1] == j - 1)
-                nxt.append((matches + 1,
-                            chunks + (0 if contiguous else 1),
-                            dist + abs(i - j),
-                            used | {j}, (i, j),
-                            pairs + ((i, j, w),)))
-        # prune: beam ordering. Include summed stage weight as a final
-        # tie-break so EXACT matches are preferred over STEM when both
-        # satisfy the positional criteria equally.
-        nxt.sort(key=lambda s: (-s[0], s[1], s[2],
-                                -sum(p[2] for p in s[5])))
-        # dedupe identical (used, last) states keeping the best
+    beams: List[List[tuple]] = [[] for _ in range(n + 1)]
+    beams[0] = [start]
+
+    def prune(states):
+        states.sort(key=lambda s: (-s[0], s[1], s[2],
+                                   -sum(p[2] for p in s[5])))
         seen = set()
-        beam = []
-        for s in nxt:
+        out = []
+        for s in states:
             key = (s[3], s[4])
             if key in seen:
                 continue
             seen.add(key)
-            beam.append(s)
-            if len(beam) >= BEAM:
+            out.append(s)
+            if len(out) >= BEAM:
                 break
-    best = beam[0]
+        return out
+
+    for i in range(n):
+        if not beams[i]:
+            continue
+        beams[i] = prune(beams[i])
+        for covered, chunks, dist, used, last, pairs in beams[i]:
+            # skip hyp[i]
+            beams[i + 1].append((covered, chunks, dist, used, last, pairs))
+            for j, w, lh, lr in cands[i]:
+                span = frozenset(range(j, j + lr))
+                if span & used:
+                    continue
+                contiguous = (last is not None
+                              and last[0] == i and last[1] == j)
+                beams[i + lh].append((
+                    covered + lh + lr,
+                    chunks + (0 if contiguous else 1),
+                    dist + abs(i - j),
+                    used | span, (i + lh, j + lr),
+                    pairs + ((i, j, w, lh, lr),)))
+    best = prune(beams[n])[0]
     return list(best[5])
 
 
@@ -303,37 +382,52 @@ def _content_weight(tok: str) -> float:
     return DELTA if tok.lower() not in FUNCTION_WORDS else 1.0 - DELTA
 
 
-def _segment_stats(hyp: Sequence[str], ref: Sequence[str]) -> _Stats:
-    pairs = align(hyp, ref)
+def _segment_stats(hyp: Sequence[str], ref: Sequence[str],
+                   syn_map=None, par_map=None) -> _Stats:
+    pairs = align(hyp, ref, syn_map, par_map)
     st = _Stats()
     st.p_den = sum(_content_weight(t) for t in hyp)
     st.r_den = sum(_content_weight(t) for t in ref)
-    st.p_num = sum(w * _content_weight(hyp[i]) for i, _, w in pairs)
-    st.r_num = sum(w * _content_weight(ref[j]) for _, j, w in pairs)
-    st.matches = float(len(pairs))
+    st.p_num = sum(w * sum(_content_weight(t) for t in hyp[i:i + lh])
+                   for i, _, w, lh, _lr in pairs)
+    st.r_num = sum(w * sum(_content_weight(t) for t in ref[j:j + lr])
+                   for _, j, w, _lh, lr in pairs)
+    mh = sum(p[3] for p in pairs)
+    mr = sum(p[4] for p in pairs)
+    # with phrase matches the two sides' matched word counts may differ;
+    # fragmentation uses their average (the jar's Stats.avgMatches)
+    st.matches = (mh + mr) / 2.0
     # chunk count from the chosen alignment (contiguity in both strings,
-    # in hyp order — matches the aligner's chunk definition)
+    # in hyp order — matches the aligner's chunk definition; spans are
+    # contiguous when they abut end-to-start on both sides)
     chunks = 0
     last = None
-    for i, j, _ in sorted(pairs):
-        if not (last is not None and i == last[0] + 1 and j == last[1] + 1):
+    for i, j, _w, lh, lr in sorted(pairs):
+        if not (last is not None and i == last[0] and j == last[1]):
             chunks += 1
-        last = (i, j)
+        last = (i + lh, j + lr)
     # a perfectly contiguous full alignment carries no fragmentation
-    st.chunks = 0.0 if (chunks == 1 and st.matches == len(hyp) == len(ref)
+    st.chunks = 0.0 if (chunks == 1 and mh == len(hyp) and mr == len(ref)
                         ) else float(chunks)
     return st
 
 
 def meteor(refs_per_hyp: List[List[List[str]]],
-           hyps: List[List[str]]) -> float:
+           hyps: List[List[str]],
+           synonyms=None, paraphrases=None) -> float:
     """Corpus METEOR: per segment the best-scoring reference's statistics
-    enter the micro-aggregate; final score from the summed statistics."""
+    enter the micro-aggregate; final score from the summed statistics.
+
+    ``synonyms`` / ``paraphrases`` override the vendored stage tables
+    (train/meteor_data.py): pass the output of ``build_synonym_map`` /
+    ``build_paraphrase_map``, or ``False`` to disable that stage (the
+    exact+stem-only scorer of rounds ≤3)."""
+    syn_map, par_map = _resolve_tables(synonyms, paraphrases)
     total = _Stats()
     for refs, hyp in zip(refs_per_hyp, hyps):
         best_st, best_sc = None, -1.0
         for r in refs:
-            st = _segment_stats(hyp, r)
+            st = _segment_stats(hyp, r, syn_map, par_map)
             sc = st.score()
             if sc > best_sc:
                 best_st, best_sc = st, sc
@@ -342,6 +436,17 @@ def meteor(refs_per_hyp: List[List[List[str]]],
     return total.score()
 
 
-def meteor_sentence(hyp: Sequence[str], ref: Sequence[str]) -> float:
+def _resolve_tables(synonyms, paraphrases):
+    d_syn, d_par = _default_tables()
+    syn_map = (None if synonyms is False
+               else (synonyms if synonyms is not None else d_syn))
+    par_map = (None if paraphrases is False
+               else (paraphrases if paraphrases is not None else d_par))
+    return syn_map, par_map
+
+
+def meteor_sentence(hyp: Sequence[str], ref: Sequence[str],
+                    synonyms=None, paraphrases=None) -> float:
     """Single segment-pair score (for tests/goldens)."""
-    return _segment_stats(hyp, ref).score()
+    syn_map, par_map = _resolve_tables(synonyms, paraphrases)
+    return _segment_stats(hyp, ref, syn_map, par_map).score()

@@ -17,13 +17,17 @@ against nltk/sacrebleu/rouge_score where formulas coincide):
   Gaussian, using RAW term counts (not length-normalized) and
   ref_len=log(num images), exactly as pycocoevalcap's CiderScorer — with a
   single image the IDF log collapses to 0 and CIDEr is 0 by construction;
-- METEOR: the METEOR-1.5 algorithm (train/meteor.py) — exact + Porter-stem
-  matcher stages, chunk-MINIMIZING beam-search alignment (the jar Aligner's
-  objective order), jar-default English parameters (alpha=0.85, beta=0.2,
-  gamma=0.6, delta=0.75 content/function weighting), corpus score from
-  micro-aggregated statistics.  Documented delta from the jar: no WordNet
-  synonym / paraphrase-table stages (their data files cannot ship here), and
-  the stem stage uses classic Porter rather than Snowball English.
+- METEOR: the METEOR-1.5 algorithm (train/meteor.py) — all four matcher
+  stages (exact 1.0, Porter-stem 0.6, synonym 0.8, paraphrase 0.6),
+  chunk-MINIMIZING beam-search alignment over token spans (the jar
+  Aligner's objective order), jar-default English parameters (alpha=0.85,
+  beta=0.2, gamma=0.6, delta=0.75 content/function weighting), corpus
+  score from micro-aggregated statistics.  The synonym/paraphrase stages
+  run against PLUGGABLE tables with a vendored minimal table in-repo
+  (train/meteor_data.py — WordNet itself cannot ship here); every vendored
+  match is one the jar would also fire, so the remaining delta vs the jar
+  is one-sided (≤ jar where its bigger tables fire).  The stem stage uses
+  classic Porter rather than Snowball English.
 - meteor_lite (kept for comparison only): the round-2 greedy exact-match
   approximation with METEOR-1.0-era constants; no longer what the facade
   reports.

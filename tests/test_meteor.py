@@ -55,7 +55,7 @@ class TestAligner:
         hyp = "the cat".split()
         ref = "the dog saw the cat".split()
         pairs = align(hyp, ref)
-        assert pairs == [(0, 3, 1.0), (1, 4, 1.0)]
+        assert pairs == [(0, 3, 1.0, 1, 1), (1, 4, 1.0, 1, 1)]
         # the greedy aligner really does get this wrong (regression anchor)
         g_matches, g_chunks = greedy_align(hyp, ref)
         assert g_matches == 2 and g_chunks == 2
@@ -72,18 +72,94 @@ class TestAligner:
         position distance — stage weight is only a final tie-break.  So a
         same-position STEM match beats a farther EXACT match..."""
         pairs = align(["cats"], ["cat", "cats"])
-        assert pairs == [(0, 0, 0.6)]
+        assert pairs == [(0, 0, 0.6, 1, 1)]
         # ...but for the SAME pair, EXACT shadows STEM (weight 1.0)
         pairs = align(["cats"], ["cats"])
-        assert pairs == [(0, 0, 1.0)]
+        assert pairs == [(0, 0, 1.0, 1, 1)]
 
     def test_stem_stage_weight(self):
         pairs = align(["running"], ["runs"])
-        assert pairs == [(0, 0, 0.6)]
+        assert pairs == [(0, 0, 0.6, 1, 1)]
 
     def test_empty(self):
         assert align([], ["a"]) == []
         assert align(["a"], []) == []
+
+
+class TestSynonymStage:
+    """METEOR-1.5 SYNONYM stage (weight 0.8) against the vendored minimal
+    synset table (train/meteor_data.py) — VERDICT r3 #6."""
+
+    def test_synonym_match_weight(self):
+        from blt_vqg_tpu.train.meteor import (W_SYN, _default_tables)
+        syn, _ = _default_tables()
+        pairs = align(["photo"], ["picture"], syn_map=syn)
+        assert pairs == [(0, 0, W_SYN, 1, 1)]
+
+    def test_exact_shadows_synonym(self):
+        from blt_vqg_tpu.train.meteor import _default_tables
+        syn, _ = _default_tables()
+        assert align(["photo"], ["photo"], syn_map=syn) \
+            == [(0, 0, 1.0, 1, 1)]
+
+    def test_synonym_rich_suite_quantified_delta(self):
+        """The documented one-sided delta: on synonym-heavy hypotheses the
+        synonym stage recovers score that exact+stem alone loses (this is
+        the PARITY.md #22 measurement)."""
+        cases = [
+            ("the kid holds a photo", "the child holds a picture"),
+            ("a big dog runs fast", "a large dog runs quickly"),
+            ("the man is happy", "the gentleman is glad"),
+            ("a small cat sleeps on the couch",
+             "a little cat sleeps on the sofa"),
+        ]
+        hyps = [h.split() for h, _ in cases]
+        refs = [[r.split()] for _, r in cases]
+        with_syn = meteor(refs, hyps)
+        without = meteor(refs, hyps, synonyms=False, paraphrases=False)
+        assert with_syn > without + 0.15  # large, systematic recovery
+        # and on synonym-free text the stage changes nothing
+        s = "what color is the cat".split()
+        assert meteor_sentence(s, s) == meteor_sentence(
+            s, s, synonyms=False, paraphrases=False) == 1.0
+
+    def test_custom_table_pluggable(self):
+        from blt_vqg_tpu.train.meteor import build_synonym_map
+        table = build_synonym_map([("zorp", "blick")])
+        assert meteor_sentence(["zorp"], ["blick"]) == 0.0
+        assert meteor_sentence(["zorp"], ["blick"], synonyms=table) > 0.0
+
+
+class TestParaphraseStage:
+    """METEOR-1.5 PARAPHRASE stage (weight 0.6): multi-word span matches
+    from a pluggable table."""
+
+    def test_phrase_span_match(self):
+        from blt_vqg_tpu.train.meteor import W_PAR, build_paraphrase_map
+        par = build_paraphrase_map([("a lot of", "many")])
+        pairs = align("a lot of dogs".split(), "many dogs".split(),
+                      par_map=par)
+        assert (0, 0, W_PAR, 3, 1) in pairs          # 'a lot of' ↔ 'many'
+        assert (3, 1, 1.0, 1, 1) in pairs            # dogs ↔ dogs (exact)
+
+    def test_phrase_improves_score_and_is_symmetric(self):
+        hyp = "there are a lot of dogs".split()
+        ref = "there are many dogs".split()
+        plain = meteor_sentence(hyp, ref, synonyms=False, paraphrases=False)
+        with_par = meteor_sentence(hyp, ref)
+        assert with_par > plain
+        # symmetric: table lists ('a lot of', 'many') but matches both ways
+        assert meteor_sentence(ref, hyp) > meteor_sentence(
+            ref, hyp, synonyms=False, paraphrases=False)
+
+    def test_span_words_count_once(self):
+        """A ref word consumed by a phrase match can't also match 1:1."""
+        from blt_vqg_tpu.train.meteor import build_paraphrase_map
+        par = build_paraphrase_map([("kind of", "sort of")])
+        pairs = align("kind of of".split(), "sort of".split(), par_map=par)
+        spans = [(p[1], p[1] + p[4]) for p in pairs]
+        used = [j for a, b in spans for j in range(a, b)]
+        assert len(used) == len(set(used))
 
 
 class TestScoreGoldens:
