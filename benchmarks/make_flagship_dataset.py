@@ -112,20 +112,48 @@ def make_images_learnable(img_dir: str, split: str, num: int, im_size: int,
             print(f"  {split} images: {i + 1}/{num}", flush=True)
 
 
+def combo_split(num_cats: int, holdout_frac: float, seed: int = 7):
+    """Compositional-generalization split over (bg, square, category)
+    combos (VERDICT r3 #4): per (a, b) attribute pair, hold out a random
+    ~``holdout_frac`` of categories (always keeping ≥1 for train), so val
+    questions use attribute×category COMBINATIONS never seen in training
+    while every attribute and every category is individually seen.
+    Returns (train_combos, heldout_combos) as sets of
+    ``a + NA*(b + NB*cat)`` ids."""
+    rng = np.random.RandomState(seed)
+    heldout = set()
+    for a in range(NA):
+        for b in range(NB):
+            k = int(rng.binomial(num_cats, holdout_frac))
+            k = min(max(k, 1 if holdout_frac > 0 else 0), num_cats - 1)
+            for c in rng.choice(num_cats, size=k, replace=False):
+                heldout.add(a + NA * (b + NB * int(c)))
+    every = set(range(NA * NB * num_cats))
+    return every - heldout, heldout
+
+
 def make_qa_json_learnable(root: str, split: str, num_qa: int,
                            num_images: int, q_words, answers_by_cat,
-                           seed: int = 1):
+                           seed: int = 1, allowed_combos=None):
     """Learnable QA: question = ``learnable_question(a, b, cat)`` where
     (a, b) come from the drawn image's index; answer deterministic of the
-    same triple (so input_mode=ans is learnable too)."""
+    same triple (so input_mode=ans is learnable too).  ``allowed_combos``
+    (a set of combo ids; see combo_split) restricts draws to that subset —
+    the compositional-generalization corpus."""
     rng = np.random.RandomState(seed)
     cats = sorted(answers_by_cat)
     questions, annotations = [], []
     for qid in range(num_qa):
-        image_id = int(rng.randint(1, num_images + 1))
-        a, b = _attrs(image_id - 1)
-        ci = int(rng.randint(len(cats)))
-        combo = a + NA * (b + NB * ci)
+        for _ in range(10_000):
+            image_id = int(rng.randint(1, num_images + 1))
+            a, b = _attrs(image_id - 1)
+            ci = int(rng.randint(len(cats)))
+            combo = a + NA * (b + NB * ci)
+            if allowed_combos is None or combo in allowed_combos:
+                break
+        else:
+            raise RuntimeError("no allowed combo drawable — holdout split "
+                               "excludes every (image, category) pair?")
         ans = answers_by_cat[cats[ci]][combo % len(answers_by_cat[cats[ci]])]
         questions.append({"image_id": image_id, "question_id": qid,
                           "question": learnable_question(a, b, ci, q_words)})
@@ -211,6 +239,10 @@ def main():
     p.add_argument("--learnable", action="store_true",
                    help="questions a deterministic template of (visual "
                    "attributes, category) — see learnable_question")
+    p.add_argument("--holdout-frac", type=float, default=0.0,
+                   help="with --learnable: hold out this fraction of "
+                   "(attribute, category) combos from training; val draws "
+                   "ONLY held-out combos (compositional generalization)")
     args = p.parse_args()
 
     os.makedirs(args.root, exist_ok=True)
@@ -241,10 +273,22 @@ def main():
     timings["images_s"] = time.time() - t
 
     t = time.time()
+    qa_kw_train, qa_kw_val = {}, {}
+    if args.learnable and args.holdout_frac > 0:
+        train_combos, heldout = combo_split(args.num_cats,
+                                            args.holdout_frac)
+        qa_kw_train["allowed_combos"] = train_combos
+        qa_kw_val["allowed_combos"] = heldout
+        with open(os.path.join(args.root, "combo_split.json"), "w") as f:
+            json.dump({"holdout_frac": args.holdout_frac,
+                       "train": sorted(train_combos),
+                       "heldout": sorted(heldout)}, f)
+        print(f"combo split: {len(train_combos)} train / {len(heldout)} "
+              "held-out (val draws held-out only)")
     qp, ap = mk_qa(args.root, "train", args.num_qa, args.num_images,
-                   q_words, answers_by_cat, seed=1)
+                   q_words, answers_by_cat, seed=1, **qa_kw_train)
     vqp, vap = mk_qa(args.root, "val", args.val_qa, args.val_images,
-                     q_words, answers_by_cat, seed=4)
+                     q_words, answers_by_cat, seed=4, **qa_kw_val)
     timings["json_s"] = time.time() - t
 
     # the REAL ETL (reference utils/store_dataset.py capability)

@@ -33,6 +33,11 @@ def main(argv=None):
     parser.add_argument("--step", type=int, default=None,
                         help="checkpoint step (default: latest)")
     parser.add_argument("--results-dir", type=str, default=None)
+    parser.add_argument("--num-z-samples", type=int, default=None,
+                        help="k>1: ALSO decode k prior z-draws per image "
+                        "and report diversity/consistency metrics (the "
+                        "information-maximization eval, train/infomax.py); "
+                        "default cfg.num_z_samples")
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s %(message)s")
@@ -69,6 +74,10 @@ def main(argv=None):
     log.info("evaluating checkpoint step %d (latent=%s)", int(state.step),
              latent)
 
+    k_z = (args.num_z_samples if args.num_z_samples is not None
+           else getattr(cfg, "num_z_samples", 1))
+    z_samples: list = []        # z_samples[j] = draw j's questions (strings)
+    z_contexts: list = []       # category id per evaluated image
     preds, gts = [], []
     beam_step = None  # jitted once on first use, reused across batches
     idx2word = vocab.idx2word
@@ -101,11 +110,34 @@ def main(argv=None):
             gts.append(" ".join(filter_special_tokens(
                 [idx2word.get(int(w), "<unk>")
                  for w in np.asarray(batch["target"])[i]])))
+        if k_z > 1 and latent:
+            # info-max eval: k independent prior draws per image
+            import jax
+            from blt_vqg_tpu.train.infomax import multi_z_decode
+            draws = multi_z_decode(
+                trainer._decode_steps[True], state, images, context,
+                jax.random.key(9_000_000 + bi), k_z)
+            if not z_samples:
+                z_samples = [[] for _ in range(k_z)]
+            for j, toks in enumerate(draws):
+                z_samples[j].extend(trainer._detok(r) for r in toks)
+            z_contexts.extend(int(c) for c in
+                              np.asarray(batch["answer_types"]))
         log.info("decoded %d questions", len(preds))
 
     scores = trainer.nlge.compute_metrics(ref_list=[gts], hyp_list=preds)
     for k, v in scores.items():
         log.info("%s\t%.4f", k, v * 100)
+
+    if z_samples:
+        from blt_vqg_tpu.train.infomax import (category_word_consistency,
+                                               diversity_metrics)
+        div = diversity_metrics(
+            z_samples, contexts=z_contexts,
+            consistent_fn=category_word_consistency(vocab))
+        for k, v in div.items():
+            log.info("infomax %s\t%.4f", k, v)
+        scores = {**scores, **{f"infomax_{k}": v for k, v in div.items()}}
 
     results_dir = args.results_dir or args.model_dir
     os.makedirs(results_dir, exist_ok=True)

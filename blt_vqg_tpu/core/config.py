@@ -48,6 +48,12 @@ class Config:
 
     # --- data (reference train_iq.py:341-351) ---
     emb_file: Optional[str] = None    # GloVe text file, e.g. vectors/glove.6B.300d.txt
+    resnet_ckpt: Optional[str] = None # torchvision resnet18 state_dict (.pth
+                                      # or .npz) — the reference's
+                                      # pretrained=True backbone
+                                      # (encoder_cnn.py:17-21) as an offline
+                                      # file; grafted at init (ops/resnet.py
+                                      # load_resnet18_checkpoint)
     dataset: str = "data/processed/iq_dataset.hdf5"
     val_dataset: str = "data/processed/iq_val_dataset.hdf5"
     vocab: str = "vocab.json"
@@ -110,6 +116,19 @@ class Config:
     beam_size: int = 1                # >1 switches eval decode to beam search
     decode_early_stop: bool = False   # while_loop decode: exit when all rows
                                       # emitted <end> (serving speedup)
+    decode_z_source: str = "prior_sample"  # latent-mode decode z:
+                                      # "prior_sample" (reference
+                                      # iq.py:124-127) | "prior_mean"
+                                      # (deterministic; immune to the
+                                      # prior-variance decay,
+                                      # benchmarks/latent_decay.md)
+    latent_diagnostics: bool = False  # validation also reports z stats
+                                      # (per-dim KL, prior spread) and the
+                                      # prior-vs-posterior decode BLEU gap
+    num_z_samples: int = 1            # evaluate: k prior draws per image →
+                                      # question diversity + consistency
+                                      # report (train/infomax.py; the
+                                      # information-maximization eval)
     model_family: str = "transformer" # "transformer" | "rnn" (legacy IQ)
     rnn_cell: str = "lstm"            # rnn family: "lstm" | "gru"
     compat_pad_seed: bool = True      # seed greedy decode with <pad> like the
@@ -282,6 +301,8 @@ def add_config_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
                         default=defaults.image_recon_lambda)
     parser.add_argument("--batch_size", type=int, default=defaults.batch_size)
     parser.add_argument("--emb_file", type=str, default=defaults.emb_file)
+    parser.add_argument("--resnet_ckpt", type=str,
+                        default=defaults.resnet_ckpt)
     parser.add_argument("--dataset", type=str, default=defaults.dataset)
     parser.add_argument("--val_dataset", type=str, default=defaults.val_dataset)
     parser.add_argument("--vocab", type=str, default=defaults.vocab)
@@ -379,6 +400,12 @@ def add_config_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
                         default=defaults.image_encoder,
                         choices=("resnet18", "vit_b16"))
     parser.add_argument("--beam_size", type=int, default=defaults.beam_size)
+    parser.add_argument("--decode_z_source", type=str,
+                        default=defaults.decode_z_source,
+                        choices=("prior_sample", "prior_mean"))
+    parser.add_argument("--latent_diagnostics", action="store_true")
+    parser.add_argument("--num_z_samples", type=int,
+                        default=defaults.num_z_samples)
     parser.add_argument("--model_family", type=str,
                         default=defaults.model_family,
                         choices=("transformer", "rnn"))

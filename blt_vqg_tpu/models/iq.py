@@ -170,6 +170,24 @@ class IQ(nn.Module):
                                       recon.astype(jnp.float32))
 
     # ------------------------------------------------------------------
+    def latent_diagnostics(self, images: jnp.ndarray, context: jnp.ndarray,
+                           posterior: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        """z-instrumentation (VERDICT r3 #2): prior/posterior distribution
+        stats for a batch — per-dim KL, logvar means, prior conditioning
+        strength, posterior-prior mean gap, plus ``active_dims`` (KL>0.01
+        count, the posterior-collapse gauge).  Eval-mode, no RNG needed."""
+        image_features = self.encoder_cnn(images, train=False)
+        enc, _ = self.encode_context(context, image_features, True)
+        post_mask = pad_mask(posterior, PAD)
+        post_enc = self.posterior_encoder(
+            self.embed_tokens(posterior), post_mask, True)
+        stats = self.latent.stats(enc[:, 0], post_enc[:, 0],
+                                  deterministic=True)
+        stats["active_dims"] = jnp.sum(
+            (stats["kl_per_dim"] > 0.01).astype(jnp.int32))
+        return stats
+
+    # ------------------------------------------------------------------
     def predict_from_answer(self, images: jnp.ndarray, answers: jnp.ndarray,
                             max_decode_length: int = 50,
                             latent_mode: bool = True
@@ -332,7 +350,9 @@ class IQ(nn.Module):
     # ------------------------------------------------------------------
     def decode_greedy(self, images: jnp.ndarray, context: jnp.ndarray,
                       max_decode_length: int = 50, latent_mode: bool = False,
-                      early_stop: bool = False, with_probe: bool = True
+                      early_stop: bool = False, with_probe: bool = True,
+                      z_source: str = "prior_sample",
+                      posterior: Optional[jnp.ndarray] = None
                       ) -> Dict[str, jnp.ndarray]:
         """Greedy decoding with a KV cache under ``lax.scan``.
 
@@ -351,6 +371,13 @@ class IQ(nn.Module):
         ``with_probe=False`` is the serving path: it skips the per-step
         softmax + top-6 top_k over the vocab (a validation-printer debugging
         aid, reference train_iq.py:189-193) and returns only ``tokens``.
+
+        ``z_source`` (static) picks where z comes from in latent mode:
+        "prior_sample" (reference iq.py:124-127, the default), "prior_mean"
+        (deterministic decode — the latent-decay diagnostic/serving knob,
+        cfg.decode_z_source), or with ``posterior`` tokens supplied,
+        "posterior_sample"/"posterior_mean" (oracle decode for measuring the
+        posterior-vs-prior BLEU gap; benchmarks/latent_decay.md).
         """
         cfg = self.cfg
         image_features = self.encoder_cnn(images, train=False)
@@ -358,7 +385,19 @@ class IQ(nn.Module):
 
         z_proj = jnp.zeros_like(image_features)
         if latent_mode:
-            _, z, _ = self.latent(enc[:, 0], None, deterministic=True)
+            use_mean = z_source.endswith("mean")
+            if z_source.startswith("posterior"):
+                if posterior is None:
+                    raise ValueError("z_source=%r needs posterior tokens"
+                                     % z_source)
+                post_mask = pad_mask(posterior, PAD)
+                post_enc = self.posterior_encoder(
+                    self.embed_tokens(posterior), post_mask, True)
+                _, z, _ = self.latent(enc[:, 0], post_enc[:, 0],
+                                      deterministic=True, use_mean=use_mean)
+            else:
+                _, z, _ = self.latent(enc[:, 0], None, deterministic=True,
+                                      use_mean=use_mean)
             z_proj = self.latent_projection(z)
 
         cross_kvs = self.decoder.precompute_cross(enc)

@@ -64,7 +64,7 @@ class Latent(nn.Module):
             self.latent_dim, self.dropout_rate, self.dtype, name="posterior")
 
     def __call__(self, x: jnp.ndarray, x_p: Optional[jnp.ndarray],
-                 deterministic: bool = True,
+                 deterministic: bool = True, use_mean: bool = False,
                  ) -> Tuple[jnp.ndarray, jnp.ndarray,
                             Tuple[Optional[jnp.ndarray], Optional[jnp.ndarray]]]:
         """x: [B, H] context summary; x_p: [B, H] posterior summary or None.
@@ -73,6 +73,11 @@ class Latent(nn.Module):
         With x_p given (training), z is sampled from the posterior and kld is
         KL(posterior || prior); with x_p None (eval), z comes from the prior
         and kld is 0 (reference transformer_layers.py:41-59 contract).
+
+        ``use_mean`` (static) returns the distribution MEAN instead of a
+        reparameterized sample — the deterministic-decode diagnostic knob
+        (cfg.decode_z_source="prior_mean"; benchmarks/latent_decay.md).  The
+        'latent' RNG is still consumed so traces stay key-compatible.
         """
         ml_prior = self.prior_net(x, deterministic)
         mean_prior = ml_prior[:, :self.latent_dim]
@@ -80,6 +85,8 @@ class Latent(nn.Module):
 
         eps = jax.random.normal(
             self.make_rng("latent"), mean_prior.shape, dtype=jnp.float32)
+        if use_mean:
+            eps = jnp.zeros_like(eps)
 
         if x_p is None:
             std = jnp.exp(0.5 * logvar_prior.astype(jnp.float32))
@@ -96,3 +103,35 @@ class Latent(nn.Module):
         std = jnp.exp(0.5 * logvar_post.astype(jnp.float32))
         z = eps * std + mean_post.astype(jnp.float32)
         return kld, z.astype(self.dtype), (mean_post, logvar_post)
+
+    def stats(self, x: jnp.ndarray, x_p: jnp.ndarray,
+              deterministic: bool = True) -> dict:
+        """Distribution diagnostics for the latent-decay instrumentation
+        (VERDICT r3 #2): per-dim KL, prior/posterior spread, and how far
+        prior samples land from the per-example posterior mean.
+
+        Returns a dict of f32 arrays:
+          kl_per_dim        [L]  batch-mean per-dim KL(q||p)
+          prior_logvar      []   mean prior log-variance (sample noise scale)
+          post_logvar       []   mean posterior log-variance
+          prior_mean_var    []   variance of the prior mean ACROSS the batch
+                                 (conditioning strength: ≈0 ⇒ unconditional)
+          mean_gap          []   E[(mu_q − mu_p)²] (prior-decode bias)
+        """
+        ml_prior = self.prior_net(x, deterministic)
+        mu_p = ml_prior[:, :self.latent_dim].astype(jnp.float32)
+        lv_p = ml_prior[:, self.latent_dim:].astype(jnp.float32)
+        ml_post = self.posterior_net(
+            jnp.concatenate([x_p, x], axis=-1), deterministic)
+        mu_q = ml_post[:, :self.latent_dim].astype(jnp.float32)
+        lv_q = ml_post[:, self.latent_dim:].astype(jnp.float32)
+        kl_dim = -0.5 * (1.0 + (lv_q - lv_p)
+                         - jnp.square(mu_p - mu_q) / jnp.exp(lv_p)
+                         - jnp.exp(lv_q) / jnp.exp(lv_p))   # [B, L]
+        return {
+            "kl_per_dim": jnp.mean(kl_dim, axis=0),
+            "prior_logvar": jnp.mean(lv_p),
+            "post_logvar": jnp.mean(lv_q),
+            "prior_mean_var": jnp.mean(jnp.var(mu_p, axis=0)),
+            "mean_gap": jnp.mean(jnp.square(mu_q - mu_p)),
+        }

@@ -140,3 +140,20 @@ def import_torch_resnet18(state_dict: Dict[str, Any]) -> Tuple[Dict, Dict]:
             params[name] = bp
             stats[name] = bs
     return params, stats
+
+
+def load_resnet18_checkpoint(path: str) -> Tuple[Dict, Dict]:
+    """Loads a torchvision resnet18 checkpoint file and maps it onto the
+    backbone pytrees (``cfg.resnet_ckpt`` — the reference's
+    ``models.resnet18(pretrained=True)``, encoder_cnn.py:17-21, as an
+    offline file).  Accepts a torch ``.pth`` state_dict (torch is CPU-only
+    in this image — fine, this is a host-side load) or an ``.npz`` with the
+    same key names."""
+    if path.endswith(".npz"):
+        sd = dict(np.load(path).items())
+    else:
+        import torch
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+        if hasattr(sd, "state_dict"):
+            sd = sd.state_dict()
+    return import_torch_resnet18(sd)

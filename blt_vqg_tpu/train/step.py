@@ -143,7 +143,16 @@ def make_eval_step(cfg: Config, latent_mode: bool,
             kl_ceiling=cfg.kl_ceiling, aux_ceiling=cfg.aux_ceiling,
             image_recon_lambda=cfg.image_recon_lambda,
             full_kl_step=cfg.full_kl_step)
-        return dict(out.as_dict())
+        metrics = dict(out.as_dict())
+        if latent_mode and z_logit is not None:
+            # z-head probe (VERDICT r3 #2): does the z-classifier's argmax
+            # land on a word of THIS example's question?  The aux loss
+            # (reference train_iq.py:92-94) trains exactly that
+            za = jnp.argmax(z_logit, axis=-1)                    # [B]
+            hit = jnp.any((za[:, None] == batch["target"])
+                          & (batch["target"] != 0), axis=1)
+            metrics["aux_acc"] = jnp.mean(hit.astype(jnp.float32))
+        return metrics
 
     return jax.jit(step)
 
@@ -163,6 +172,9 @@ def make_decode_step(cfg: Config, model, latent_mode: bool,
         kwargs["early_stop"] = True
     if not with_probe and "with_probe" in sig:
         kwargs["with_probe"] = False
+    zs = getattr(cfg, "decode_z_source", "prior_sample")
+    if zs != "prior_sample" and "z_source" in sig:
+        kwargs["z_source"] = zs
 
     @functools.partial(jax.jit, static_argnums=())
     def step(state: TrainState, images, context, rng):
@@ -172,6 +184,42 @@ def make_decode_step(cfg: Config, model, latent_mode: bool,
             latent_mode=latent_mode,
             method=type(model).decode_greedy,
             rngs={"latent": rng}, **kwargs)
+
+    return step
+
+
+def make_diag_decode_step(cfg: Config, model, z_source: str) -> Callable:
+    """Latent-mode greedy decode with an explicit z source — the
+    posterior-vs-prior decode gap instrument (VERDICT r3 #2).  Signature
+    ``step(state, images, context, posterior, rng) -> {"tokens": [B, L]}``;
+    ``posterior`` is ignored for prior-side sources (pass anything)."""
+
+    uses_post = z_source.startswith("posterior")
+
+    @functools.partial(jax.jit, static_argnums=())
+    def step(state: TrainState, images, context, posterior, rng):
+        return model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            images, context, max_decode_length=cfg.max_decode_length,
+            latent_mode=True, with_probe=False, z_source=z_source,
+            posterior=(posterior if uses_post else None),
+            method=type(model).decode_greedy,
+            rngs={"latent": rng})
+
+    return step
+
+
+def make_latent_diag_step(cfg: Config, model) -> Callable:
+    """Jitted z-distribution diagnostics:
+    ``step(state, images, context, posterior) -> dict`` (see
+    IQ.latent_diagnostics)."""
+
+    @functools.partial(jax.jit, static_argnums=())
+    def step(state: TrainState, images, context, posterior):
+        return model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            images, context, posterior,
+            method=type(model).latent_diagnostics)
 
     return step
 

@@ -139,6 +139,9 @@ class Trainer:
             }
         else:
             self._beam_steps = None
+        # z-instrumentation steps (cfg.latent_diagnostics) — built lazily so
+        # the default path compiles nothing extra
+        self._diag_steps = None
         # reference hp string (train_iq.py:35-37)
         self.hp_string = "{}_{}_{}_{}_{}_{}_{}_{}_{}_{}. {}".format(
             cfg.input_mode, cfg.emb_dim, "True", cfg.hidden_dim,
@@ -155,6 +158,14 @@ class Trainer:
         state = create_train_state(
             self.cfg, self.model, jax.random.key(self.cfg.seed), sample_batch,
             glove_table=glove_table)
+        rc = getattr(self.cfg, "resnet_ckpt", None)
+        if rc and self.cfg.image_encoder == "resnet18":
+            # pretrained frozen backbone (reference encoder_cnn.py:17-21):
+            # graft imported torchvision weights + BN stats.  Done BEFORE a
+            # resume restore (checkpointed weights win) and safe w.r.t. the
+            # optimizer: the backbone is frozen (MaskedNode moments, no
+            # masters).
+            state = self._graft_resnet(state, rc)
         if resume and self.ckpt.latest_step() is not None:
             state = self.ckpt.restore(state)
             log.info("resumed from step %d", int(state.step))
@@ -165,6 +176,25 @@ class Trainer:
                 batch_stats=replicate(state.batch_stats, self.mesh),
                 opt_state=self._place_opt_state(state.opt_state))
         return state
+
+    def _graft_resnet(self, state, path):
+        """Overwrite the backbone subtree with imported torchvision weights
+        (dtype-preserving — bf16 storage under the mixed-precision diet)."""
+        import jax.numpy as jnp
+        from blt_vqg_tpu.ops.resnet import load_resnet18_checkpoint
+        p_new, s_new = load_resnet18_checkpoint(path)
+        cast = lambda new, old: jax.tree_util.tree_map(
+            lambda n, o: jnp.asarray(n, dtype=o.dtype), new, old)
+        params = dict(state.params)
+        params["encoder_cnn"] = dict(params["encoder_cnn"])
+        params["encoder_cnn"]["backbone"] = cast(
+            p_new, state.params["encoder_cnn"]["backbone"])
+        batch_stats = dict(state.batch_stats)
+        batch_stats["encoder_cnn"] = dict(batch_stats["encoder_cnn"])
+        batch_stats["encoder_cnn"]["backbone"] = cast(
+            s_new, state.batch_stats["encoder_cnn"]["backbone"])
+        log.info("grafted pretrained resnet18 backbone from %s", path)
+        return state.replace(params=params, batch_stats=batch_stats)
 
     def _place_opt_state(self, opt_state):
         """ZeRO-1 (cfg.shard_opt_state) or FSDP (cfg.fsdp, whose sharded
@@ -329,13 +359,79 @@ class Trainer:
         if first_batch is not None:
             scores = self.decode_report(state, first_batch, latent, step,
                                         print_samples)
+        diag = {}
+        if (latent and first_batch is not None
+                and getattr(self.cfg, "latent_diagnostics", False)):
+            diag = self.latent_report(state, first_batch, step)
+            self.writer.write(step, diag, prefix="zdiag")
         print("##### validation @ step", step, "#####")
         for k, v in means.items():
             print(k, "\t", np.round(v, 4))
         for k, v in scores.items():
             print(k, "\t", np.round(v * 100, 4))
+        for k, v in diag.items():
+            print(k, "\t", np.round(v, 4))
         print(self.hp_string)
-        return {**means, **{f"nlg_{k}": v for k, v in scores.items()}}
+        return {**means, **{f"nlg_{k}": v for k, v in scores.items()}, **diag}
+
+    def _detok(self, tokens_row) -> str:
+        """Token ids → space-joined words, stopping at <end>, specials
+        filtered (decode_report's convention)."""
+        idx2word = self.vocab.idx2word
+        words = []
+        for t in tokens_row:
+            w = idx2word.get(int(t), "<unk>")
+            if w == "<end>":
+                break
+            words.append(w)
+        return " ".join(filter_special_tokens(words))
+
+    def latent_report(self, state, batch, step: int) -> Dict[str, float]:
+        """z-instrumentation on one val batch (cfg.latent_diagnostics;
+        VERDICT r3 #2): distribution stats (active dims, prior spread,
+        posterior-prior mean gap) plus the decode-BLEU gap between z drawn
+        from a prior sample (reference decode, iq.py:124-127), the prior
+        mean, and the posterior mean (oracle).  A widening
+        sample-vs-mean gap with a stable oracle is the prior-variance decay
+        signature (benchmarks/latent_decay.md)."""
+        from blt_vqg_tpu.train.step import (make_diag_decode_step,
+                                            make_latent_diag_step)
+        if self._diag_steps is None:
+            self._diag_steps = {"stats": make_latent_diag_step(
+                self.cfg, self.model)}
+            for src in ("prior_sample", "prior_mean", "posterior_mean"):
+                self._diag_steps[src] = make_diag_decode_step(
+                    self.cfg, self.model, src)
+        images = self.augment_eval(batch["images"], self.rngs.key(3))
+        context = np.asarray(batch["answer_types"])[:, None].astype(np.int32)
+        posterior = batch["posterior"]
+
+        stats = self._diag_steps["stats"](state, images, context, posterior)
+        kl_dim = np.asarray(stats["kl_per_dim"])
+        report = {
+            "z_active_dims": float(stats["active_dims"]),
+            "z_kl_top_dim": float(kl_dim.max()),
+            "z_prior_logvar": float(stats["prior_logvar"]),
+            "z_post_logvar": float(stats["post_logvar"]),
+            "z_prior_mean_var": float(stats["prior_mean_var"]),
+            "z_mean_gap": float(stats["mean_gap"]),
+        }
+        gts = [" ".join(filter_special_tokens(
+            [self.vocab.idx2word.get(int(w), "<unk>") for w in row]))
+            for row in np.asarray(batch["target"])]
+        for src in ("prior_sample", "prior_mean", "posterior_mean"):
+            out = self._diag_steps[src](state, images, context, posterior,
+                                        self.rngs.key(5_000_000 + step))
+            preds = [self._detok(row) for row in np.asarray(out["tokens"])]
+            try:
+                sc = self.nlge.compute_metrics(ref_list=[gts],
+                                               hyp_list=preds)
+                report[f"bleu4_{src}"] = sc["Bleu_4"] * 100.0
+            except ZeroDivisionError:
+                report[f"bleu4_{src}"] = 0.0
+        report["bleu4_prior_gap"] = (report["bleu4_posterior_mean"]
+                                     - report["bleu4_prior_sample"])
+        return report
 
     def decode_report(self, state, batch, latent: bool, step: int,
                       print_samples: int = 10) -> Dict[str, float]:

@@ -40,6 +40,53 @@ def test_attrs_cycle_covers_all_combos():
     assert len(combos) == gen.NA * gen.NB
 
 
+def test_combo_split_disjoint_and_balanced():
+    """Compositional-generalization split (VERDICT r3 #4): held-out combos
+    are disjoint from training, every (a, b) keeps ≥1 train category, and
+    the held-out fraction lands near the requested value."""
+    num_cats = 8
+    train, heldout = gen.combo_split(num_cats, 0.12)
+    total = gen.NA * gen.NB * num_cats
+    assert train | heldout == set(range(total))
+    assert not (train & heldout)
+    frac = len(heldout) / total
+    assert 0.05 < frac < 0.25
+    # per (a, b): at least one category trainable
+    for a in range(gen.NA):
+        for b in range(gen.NB):
+            ids = {a + gen.NA * (b + gen.NB * c) for c in range(num_cats)}
+            assert ids & train
+    # deterministic (same seed)
+    t2, h2 = gen.combo_split(num_cats, 0.12)
+    assert t2 == train and h2 == heldout
+
+
+def test_qa_generation_respects_allowed_combos(tmp_path):
+    # >576 template words: combo → question is then injective (the word at
+    # position j is (combo·p_j + j) mod nw with p_j coprime to nw), so the
+    # reverse map below is well-defined
+    words = gen.make_word_list(610, seed=0)
+    q_words = words[:601]
+    answers_by_cat = {f"cat{i}": [words[601 + i]] for i in range(4)}
+    train, heldout = gen.combo_split(4, 0.2)
+    qp, _ = gen.make_qa_json_learnable(
+        str(tmp_path), "train", 300, gen.NA * gen.NB, q_words,
+        answers_by_cat, seed=1, allowed_combos=train)
+    with open(qp) as f:
+        qs = json.load(f)["questions"]
+    assert len(qs) == 300
+    # reverse-map each question to its combo: regenerate per-combo template
+    q2combo = {}
+    for combo in range(gen.NA * gen.NB * 4):
+        a = combo % gen.NA
+        b = (combo // gen.NA) % gen.NB
+        c = combo // (gen.NA * gen.NB)
+        q2combo[gen.learnable_question(a, b, c, q_words)] = combo
+    assert len(q2combo) == gen.NA * gen.NB * 4  # injective
+    for q in qs:
+        assert q2combo[q["question"]] in train
+
+
 @pytest.fixture(scope="module")
 def tiny_learnable(tmp_path_factory):
     root = str(tmp_path_factory.mktemp("learnable"))
