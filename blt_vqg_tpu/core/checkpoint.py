@@ -437,8 +437,13 @@ class CheckpointManager:
                     for p in pth)
                 shape = tuple(np.shape(leaf))
                 out = None
-                covered = 0
-                seen = set()
+                # Element-wise coverage mask: chunk slices from different
+                # hosts may OVERLAP without being identical (e.g. a leaf
+                # whose sharding differed between save-time layouts), so
+                # counting chunk sizes would double-count.  A boolean mask
+                # counts each element once and lets us detect conflicting
+                # overlapping writes instead of silently last-wins-ing.
+                mask = None
                 for k in flat:
                     if not (k.startswith(key + "@")
                             and k[len(key) + 1:].isdigit()):
@@ -447,16 +452,24 @@ class CheckpointManager:
                                       fallback=np.dtype(leaf.dtype))
                     idx = flat["__idx__/" + k].reshape(-1, 2)
                     sl = tuple(slice(int(a), int(b)) for a, b in idx)
-                    if sl in seen:   # same slice from another host (repl.)
-                        continue
-                    seen.add(sl)
                     if out is None:
                         out = np.zeros(shape, dtype=data.dtype)
-                    out[sl] = data.reshape(out[sl].shape)
-                    covered += int(np.prod(data.shape)) if shape else 1
+                        mask = np.zeros(shape, dtype=bool)
+                    block = data.reshape(np.asarray(out[sl]).shape)
+                    prev_mask = np.asarray(mask[sl])
+                    if prev_mask.any():
+                        prev = np.extract(prev_mask, np.asarray(out[sl]))
+                        if not np.array_equal(prev,
+                                              np.extract(prev_mask, block)):
+                            raise ValueError(
+                                f"leaf {key}: conflicting overlapping shard"
+                                f" writes at slice {sl}")
+                    out[sl] = block
+                    mask[sl] = True
                 if out is None:
                     raise KeyError(f"checkpoint missing leaf {key}")
                 want = int(np.prod(shape)) if shape else 1
+                covered = int(mask.sum()) if shape else int(bool(mask))
                 if covered != want:
                     raise ValueError(
                         f"leaf {key}: shards cover {covered}/{want} elements"

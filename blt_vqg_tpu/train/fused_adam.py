@@ -89,6 +89,16 @@ class FusedClipAdam:
         def zeros(path, p, dtype=None):
             if self.frozen_fn(path):
                 return optax.MaskedNode()
+            if dtype is None and self._is_master(path):
+                # Mastered leaves may be STORED bf16 by the time init() is
+                # re-invoked (TrainState.reset_optimizer at the phase
+                # boundary runs after cast_params), but update_params writes
+                # their nu in f32 (the grad is promoted to f32 for master
+                # math).  Pin f32 here so the opt_state dtype structure is
+                # invariant across the restart — otherwise a
+                # steps_per_dispatch>1 lax.scan carry mismatches mid-scan,
+                # and steps_per_dispatch=1 silently recompiles.
+                dtype = jnp.float32
             return jnp.zeros_like(p, dtype=dtype)
 
         mu = jax.tree_util.tree_map_with_path(
@@ -130,8 +140,13 @@ class FusedClipAdam:
         mu_leaves, _ = _flatten_masked(state.mu)
         nu_leaves, _ = _flatten_masked(state.nu)
         ms_leaves, _ = _flatten_masked(state.master)
-        if len(ms_leaves) != len(p_leaves):
-            # legacy state built without the master field (bare MaskedNode)
+        legacy_master = len(ms_leaves) != len(p_leaves)
+        if legacy_master:
+            # legacy state built without the master field (bare MaskedNode);
+            # the RETURNED state preserves that bare structure (below) so the
+            # opt_state pytree is identical between input and output — a
+            # changed structure would break a steps_per_dispatch>1 lax.scan
+            # carry or force a recompile when resuming old checkpoints.
             ms_leaves = [optax.MaskedNode()] * len(p_leaves)
 
         # global norm over trainable leaves, optax summation order/formula
@@ -181,8 +196,9 @@ class FusedClipAdam:
         # unflatten over the params treedef: MaskedNode values land at leaf
         # positions, reproducing exactly the structure init() builds
         uf = lambda vals: jax.tree_util.tree_unflatten(treedef, vals)
-        st = FusedAdamState(count=count_inc, mu=uf(new_mu), nu=uf(new_nu),
-                            master=uf(new_ms))
+        st = FusedAdamState(
+            count=count_inc, mu=uf(new_mu), nu=uf(new_nu),
+            master=state.master if legacy_master else uf(new_ms))
         return uf(new_p), st, g_norm
 
 

@@ -115,7 +115,11 @@ class TrainState(struct.PyTreeNode):
                 lambda u: (lr * u.astype(jnp.float32)).astype(u.dtype),
                 updates)
             new_params = optax.apply_updates(self.params, updates)
-            gnorm = global_norm(grads)
+            # Trainable-leaf norm only (the frozen CNN's nonzero grads are
+            # excluded), matching both the norm the masked optax clip
+            # actually used and the fused path's metric.
+            gnorm = global_norm(jax.tree_util.tree_map_with_path(
+                lambda pth, g: None if _is_frozen_path(pth) else g, grads))
         new_state = self.replace(
             step=self.step + 1,
             kliter=self.kliter + kliter_inc,

@@ -122,6 +122,28 @@ class TestSyntheticParity:
                                    rtol=1e-6)
 
 
+class TestLegacyState:
+    def test_legacy_master_fallback_preserves_structure(self):
+        """A pre-master checkpoint's opt_state (master = bare MaskedNode)
+        must round-trip through update_params with the SAME pytree
+        structure — expanding it to a params-shaped tree of MaskedNodes
+        would mismatch a lax.scan carry (ADVICE r3 low)."""
+        params = {"w": jnp.ones((4, 2)), "b": jnp.zeros((2,))}
+        grads = jax.tree.map(lambda p: 0.1 * jnp.ones_like(p), params)
+        fused = FusedClipAdam(5.0, lambda path: False)
+        st = fused.init(params)
+        legacy = st._replace(master=optax.MaskedNode())  # bare, not a tree
+        new_p, st2, _ = fused.update_params(params, grads, legacy,
+                                            jnp.asarray(0.1))
+        assert (jax.tree_util.tree_structure(st2)
+                == jax.tree_util.tree_structure(legacy))
+        assert isinstance(st2.master, optax.MaskedNode)
+        # params still updated correctly (matches the non-legacy path)
+        ref_p, _, _ = fused.update_params(params, grads, st,
+                                          jnp.asarray(0.1))
+        _tree_eq(new_p, ref_p)
+
+
 class TestMixedPrecision:
     """cfg.param_dtype='bfloat16': bf16 parameter storage with f32 Adam
     masters (train/fused_adam.py).  The forward must be VALUE-IDENTICAL to
@@ -223,6 +245,35 @@ class TestMixedPrecision:
         assert int(reset.opt_state.count) == 0
         np.testing.assert_array_equal(
             np.asarray(reset.opt_state.master["embed"]["embedding"]), before)
+
+    def test_reset_then_step_carry_invariant(self, tiny_cfg, vocab_size):
+        """Regression (ADVICE r3): reset_optimizer runs tx.init on the
+        BF16-STORED params, which used to build bf16 nu leaves while
+        update_params writes them back f32 — an opt_state dtype-structure
+        change that breaks a steps_per_dispatch>1 lax.scan carry and forces
+        a recompile at the phase switch.  The opt_state avals must be
+        IDENTICAL across init → step → reset → step."""
+        from blt_vqg_tpu.train.step import make_train_step
+        batch, states = self._states(tiny_cfg, vocab_size)
+        cfg, model, st = states["bfloat16"]
+        step = make_train_step(cfg, latent_mode=True)
+        st, _ = step(st, batch, jax.random.key(0))
+
+        avals = lambda t: jax.tree.map(
+            lambda x: (jnp.shape(x), jnp.result_type(x)), t)
+        stepped = avals(st.opt_state)
+
+        reset = st.reset_optimizer()
+        assert avals(reset.opt_state) == stepped
+        # mastered leaves carry f32 nu even though storage is bf16
+        assert reset.opt_state.nu["embed"]["embedding"].dtype == jnp.float32
+        # and a post-reset step leaves the structure unchanged again
+        after, _ = step(reset, batch, jax.random.key(1))
+        assert avals(after.opt_state) == stepped
+        # scan-carry check: the update is shape-stable under jax.eval_shape
+        out_aval = jax.eval_shape(
+            lambda s: step(s, batch, jax.random.key(2))[0], reset)
+        assert avals(out_aval.opt_state) == stepped
 
     def test_checkpoint_roundtrip_with_master(self, tmp_path, tiny_cfg,
                                               vocab_size):

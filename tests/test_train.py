@@ -467,6 +467,46 @@ class TestCheckpoint:
             mgr.restore_sharded(self._toy_state(
                 {"w": jnp.zeros((8, 8))}, {}))
 
+    def test_sharded_restore_overlap_detection(self, tmp_path,
+                                               eight_devices):
+        """Overlapping-but-unequal shard slices (e.g. a leaf saved under
+        two different layouts) must error, not double-count coverage or
+        silently last-wins; identical overlapping slices still restore
+        (replicated-shard dedup).  ADVICE r3 low, core/checkpoint.py."""
+        import os as _os
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from blt_vqg_tpu.core.checkpoint import CheckpointManager
+        from blt_vqg_tpu.parallel.mesh import build_mesh
+
+        mesh = build_mesh((4, 2))
+        w = jnp.arange(64, dtype=jnp.float32).reshape(8, 8)
+        state = self._toy_state(
+            {"w": jax.device_put(w, NamedSharding(mesh, P(None, "model")))},
+            {})
+        mgr = CheckpointManager(str(tmp_path / "ckpt"))
+        path = mgr.save_sharded(state)
+        f = _os.path.join(path, "shard_h0.npz")
+        with np.load(f) as z:
+            kept = {k: z[k] for k in z.files}
+        # a second host's file whose chunk spans the WHOLE leaf (different
+        # layout), conflicting with shard 0's data on the overlap
+        np.savez(_os.path.join(path, "shard_h1.npz"),
+                 **{"params/w@0": np.asarray(w) + 1.0,
+                    "__idx__/params/w@0": np.asarray([[0, 8], [0, 8]],
+                                                     np.int64)})
+        with pytest.raises(ValueError, match="conflicting"):
+            mgr.restore_sharded(self._toy_state({"w": jnp.zeros((8, 8))},
+                                                {}))
+        # identical overlap (true replication) restores cleanly
+        np.savez(_os.path.join(path, "shard_h1.npz"),
+                 **{"params/w@0": np.asarray(w),
+                    "__idx__/params/w@0": np.asarray([[0, 8], [0, 8]],
+                                                     np.int64)})
+        restored = mgr.restore_sharded(self._toy_state(
+            {"w": jnp.zeros((8, 8))}, {}))
+        np.testing.assert_array_equal(np.asarray(restored.params["w"]),
+                                      np.asarray(w))
+
     def test_bf16_on_disk_params(self, tmp_path):
         """on_disk_param_dtype='bfloat16' halves param bytes; restore casts
         back to the template dtype (precision loss bounded by bf16 eps)."""
