@@ -134,12 +134,25 @@ def _stream_kernel(*refs,
         sqkv_ref = sout_ref = sqc_ref = soc_ref = s1_ref = s2_ref = None
 
     def _wblk(ref, sref):
-        """The stage's weight block, dequantized in VMEM when int8-streamed
-        (w8 [K, N] * scale [1, N] → GEMM dtype) — the HBM side stays int8."""
+        """The stage's weight block.  When int8-streamed this is ONLY the
+        int8→GEMM-dtype convert (int8 magnitudes ≤127 are exact in bf16);
+        the per-output-column scale moves to the GEMM's f32 OUTPUT via
+        ``_oscale`` — mathematically identical (scales are constant per
+        column, so ``x @ (w8·s) == (x @ w8)·s``) but ~16× less VPU work
+        ([B, N] elements instead of [K, N]) and one pass over the weight
+        block instead of three (convert·mul·convert).  Measured round 4:
+        the old in-weight dequant sat on the DMA→GEMM critical path and
+        made int8 streaming SLOWER than bf16 (2,312 vs 3,447 q/s)."""
         w = ref[0, 0]
         if sref is None:
             return w
-        return (w.astype(jnp.float32) * sref[0, 0]).astype(dtype)
+        return w.astype(dtype)
+
+    def _oscale(y, sref):
+        """Per-output-column dequant scale on a GEMM's f32 output."""
+        if sref is None:
+            return y
+        return y * sref[0, 0]
 
     l = pl.program_id(0)
     s = pl.program_id(1)
@@ -212,7 +225,8 @@ def _stream_kernel(*refs,
     # ---- self-attention stage (one head) ------------------------------
     @pl.when(s < nh)
     def _self_stage():
-        qkv = _dot(xn_sc[:], _wblk(wqkv_ref, sqkv_ref))                # [B, 3*Dh] f32
+        qkv = _oscale(_dot(xn_sc[:], _wblk(wqkv_ref, sqkv_ref)),
+                      sqkv_ref)                                  # [B, 3*Dh] f32
         # round-trip through ``dtype``: the XLA step's fused QKV GEMM
         # produces (and caches) dtype values (ops/attention.py:176-184)
         q = qkv[:, :head_dim].astype(dtype) * scale         # [B, Dh] dtype
@@ -242,7 +256,9 @@ def _stream_kernel(*refs,
             ctx = (jnp.sum(e_cache[:, :, None].astype(dtype) * vc,
                            axis=0, dtype=jnp.float32)
                    + e_cur[:, None] * v.astype(jnp.float32)) / den[:, None]
-            partial = _dot(ctx.astype(dtype), _wblk(wout_ref, sout_ref))    # [B, D]
+            partial = _oscale(_dot(ctx.astype(dtype),
+                                   _wblk(wout_ref, sout_ref)),
+                              sout_ref)                          # [B, D]
 
             @pl.when(s == 0)
             def _():
@@ -273,7 +289,8 @@ def _stream_kernel(*refs,
     def _cross_stage():
         hpc = nh // hc
         b = xn_sc.shape[0]
-        q = _dot(xn_sc[:], _wblk(wqc_ref, sqc_ref))                   # [B, hpc*Dh] f32
+        q = _oscale(_dot(xn_sc[:], _wblk(wqc_ref, sqc_ref)),
+                    sqc_ref)                                     # [B, hpc*Dh] f32
         q = (q.astype(dtype) * scale).astype(jnp.float32)
         q = q.reshape(b, hpc, head_dim)
         ck = ckc_ref[0, 0].astype(jnp.float32)              # [Tc, B, hpc*Dh]
@@ -284,8 +301,9 @@ def _stream_kernel(*refs,
         w = jax.nn.softmax(sc, axis=0)
         cv = cvc_ref[0, 0].astype(jnp.float32).reshape(tc, b, hpc, head_dim)
         ctx = jnp.sum(w[:, :, :, None] * cv, axis=0)        # [B, hpc, Dh]
-        partial = _dot(ctx.reshape(b, hpc * head_dim).astype(dtype),
-                       _wblk(woc_ref, soc_ref))                       # [B, D] f32
+        partial = _oscale(_dot(ctx.reshape(b, hpc * head_dim).astype(dtype),
+                               _wblk(woc_ref, soc_ref)),
+                          soc_ref)                               # [B, D] f32
 
         @pl.when(s == nh)
         def _():
@@ -302,9 +320,11 @@ def _stream_kernel(*refs,
     # ---- FFN stage (one chunk of the pwffn dim) -----------------------
     @pl.when(s >= nh + hc)
     def _ffn_stage():
-        h1 = _dot(xn_sc[:], _wblk(w1_ref, s1_ref)) + b1_ref[0, 0, 0]
+        h1 = (_oscale(_dot(xn_sc[:], _wblk(w1_ref, s1_ref)), s1_ref)
+              + b1_ref[0, 0, 0])
         h1 = jnp.maximum(h1, 0.0)
-        partial = _dot(h1.astype(dtype), _wblk(w2_ref, s2_ref))      # [B, D] f32
+        partial = _oscale(_dot(h1.astype(dtype), _wblk(w2_ref, s2_ref)),
+                          s2_ref)                                # [B, D] f32
 
         @pl.when(s == nh + hc)
         def _():

@@ -128,7 +128,11 @@ class TestStreamInt8Weights:
     quantize→dequantize image of the originals under the STACK slicing
     (quantize_stack: per-column scales over each slice's contraction rows),
     so the int8 stream path must match the plain XLA path run with params
-    replaced by that image — exactly, not approximately."""
+    replaced by that image to float roundoff.  (Round 4: the kernel applies
+    the per-column scale to each GEMM's f32 OUTPUT rather than to the
+    weight block — mathematically identical since scales are constant per
+    column, but summation now happens before the scale multiply, so the
+    match is to f32 rounding, not bit-exact.)"""
 
     def _qdq_params(self, params, num_heads, hc, fc):
         from blt_vqg_tpu.ops.pallas.decode_stream import quantize_stack
