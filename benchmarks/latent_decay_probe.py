@@ -104,6 +104,8 @@ def run(args):
         num_pretraining_steps=args.pretrain_steps,
         total_training_steps=args.pretrain_steps + args.latent_steps,
         full_kl_step=args.full_kl_step,
+        kl_ceiling=args.kl_ceiling, kl_floor=args.kl_floor,
+        aux_ceiling=args.aux_ceiling,
         val_check_interval=args.val_every, checkpoint_every=100_000,
         checkpoint_at_end=False, limit_val_batches=8,
         latent_diagnostics=True, decode_z_source=args.decode_z_source,
@@ -139,18 +141,19 @@ def report(out_dir: str):
         with open(p) as f:
             for line in f:
                 r = json.loads(line)
-                if r.get("prefix") not in ("val", "zdiag"):
+                if r.get("prefix") not in ("val", "zdiag", "nlg"):
                     continue
                 rows.setdefault(r["step"], {}).update(
                     {k: v for k, v in r.items()
                      if k not in ("step", "wall_time", "prefix")})
-    cols = ["val_kld", "val_aux_acc", "zdiag_bleu4_prior_sample",
+    cols = ["nlg_Bleu_4", "val_kld_loss", "val_aux_acc",
+            "zdiag_bleu4_prior_sample",
             "zdiag_bleu4_prior_mean", "zdiag_bleu4_posterior_mean",
             "zdiag_z_active_dims", "zdiag_z_prior_logvar",
             "zdiag_z_post_logvar", "zdiag_z_mean_gap",
             "zdiag_z_prior_mean_var"]
     hdr = ["step"] + [c.replace("zdiag_", "").replace("val_", "")
-                      for c in cols]
+                      .replace("nlg_", "") for c in cols]
     print("\t".join(hdr))
     for step in sorted(rows):
         r = rows[step]
@@ -167,6 +170,9 @@ def main():
     p.add_argument("--pretrain-steps", type=int, default=1500)
     p.add_argument("--latent-steps", type=int, default=3000)
     p.add_argument("--full-kl-step", type=int, default=500)
+    p.add_argument("--kl-ceiling", type=float, default=0.5)
+    p.add_argument("--kl-floor", type=float, default=0.0)
+    p.add_argument("--aux-ceiling", type=float, default=1.0)
     p.add_argument("--val-every", type=int, default=250)
     p.add_argument("--decode-z-source", default="prior_sample",
                    choices=("prior_sample", "prior_mean"))

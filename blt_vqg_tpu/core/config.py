@@ -40,6 +40,12 @@ class Config:
     total_training_steps: int = 35_000
     full_kl_step: int = 15_000
     kl_ceiling: float = 0.5
+    kl_floor: float = 0.0             # >0: free-bits floor (nats) on the
+                                      # total KL — the KL term stops pulling
+                                      # once kld ≤ floor, preventing the
+                                      # saturated anneal from collapsing z
+                                      # (benchmarks/latent_decay.md); 0 is
+                                      # the exact reference objective
     aux_ceiling: float = 1.0
     image_recon_lambda: float = 0.1
     batch_size: int = 128
@@ -296,6 +302,7 @@ def add_config_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
                         default=defaults.total_training_steps)
     parser.add_argument("--full_kl_step", type=int, default=defaults.full_kl_step)
     parser.add_argument("--kl_ceiling", type=float, default=defaults.kl_ceiling)
+    parser.add_argument("--kl_floor", type=float, default=defaults.kl_floor)
     parser.add_argument("--aux_ceiling", type=float, default=defaults.aux_ceiling)
     parser.add_argument("--image_recon_lambda", type=float,
                         default=defaults.image_recon_lambda)

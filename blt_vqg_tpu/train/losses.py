@@ -105,6 +105,7 @@ def compute_losses(
     aux_ceiling: float,
     image_recon_lambda: float,
     full_kl_step: int,
+    kl_floor: float = 0.0,
 ) -> LossOutputs:
     rec = masked_token_ce(logits, targets)
     feat, recon = image_recon
@@ -127,7 +128,15 @@ def compute_losses(
 
     kl_w = kl_weight_schedule(kliter, full_kl_step)
     elbo = rec + kld
-    loss = (rec + kl_ceiling * kl_w * kld + aux_ceiling * aux
+    # Free-information floor (free bits, Kingma et al. 2016 §C.8, applied
+    # to the TOTAL KL): once the posterior is within ``kl_floor`` nats of
+    # the prior, the KL term stops pulling — this is the round-4 fix for
+    # the latent-phase decay, where the saturated tanh anneal kept
+    # squeezing kld toward 0 until z collapsed and free-running decode
+    # degenerated (benchmarks/latent_decay.md).  kl_floor=0 is the exact
+    # reference objective (train_iq.py:96-101).
+    kl_term = jnp.maximum(kld, kl_floor) if kl_floor > 0.0 else kld
+    loss = (rec + kl_ceiling * kl_w * kl_term + aux_ceiling * aux
             + image_recon_lambda * img)
     return LossOutputs(loss=loss, rec=rec, img=img, ppl=ppl,
                        kld=kld, aux=aux, elbo=elbo)

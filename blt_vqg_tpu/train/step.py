@@ -54,7 +54,7 @@ def _loss_fn(params, state: TrainState, batch: Dict[str, jnp.ndarray],
         kliter=state.kliter, latent_mode=latent_mode,
         kl_ceiling=cfg.kl_ceiling, aux_ceiling=cfg.aux_ceiling,
         image_recon_lambda=cfg.image_recon_lambda,
-        full_kl_step=cfg.full_kl_step)
+        full_kl_step=cfg.full_kl_step, kl_floor=cfg.kl_floor)
     return out.loss, (out, updates["batch_stats"])
 
 
@@ -142,7 +142,7 @@ def make_eval_step(cfg: Config, latent_mode: bool,
             kliter=state.kliter, latent_mode=latent_mode,
             kl_ceiling=cfg.kl_ceiling, aux_ceiling=cfg.aux_ceiling,
             image_recon_lambda=cfg.image_recon_lambda,
-            full_kl_step=cfg.full_kl_step)
+            full_kl_step=cfg.full_kl_step, kl_floor=cfg.kl_floor)
         metrics = dict(out.as_dict())
         if latent_mode and z_logit is not None:
             # z-head probe (VERDICT r3 #2): does the z-classifier's argmax

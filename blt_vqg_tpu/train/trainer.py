@@ -359,6 +359,13 @@ class Trainer:
         if first_batch is not None:
             scores = self.decode_report(state, first_batch, latent, step,
                                         print_samples)
+            if scores:
+                # persist the decode-quality trail (×100, the printed
+                # convention) so offline analysis doesn't have to scrape
+                # stdout (benchmarks/latent_decay_probe.py)
+                self.writer.write(
+                    step, {k: v * 100.0 for k, v in scores.items()},
+                    prefix="nlg")
         diag = {}
         if (latent and first_batch is not None
                 and getattr(self.cfg, "latent_diagnostics", False)):

@@ -63,6 +63,41 @@ class TestLosses:
         np.testing.assert_allclose(float(lat.elbo),
                                    float(lat.rec) + 2.0, rtol=1e-5)
 
+    def test_kl_floor_free_bits(self):
+        """kl_floor (free bits on the total KL): below the floor the KL term
+        contributes a CONSTANT (zero gradient w.r.t. kld — the anneal stops
+        squeezing the posterior); above it the objective is unchanged from
+        the reference assembly (train_iq.py:96-101)."""
+        import jax
+        b, t, v = 2, 4, 8
+        rng = np.random.RandomState(0)
+        logits = jnp.asarray(rng.randn(b, t, v), jnp.float32)
+        targets = jnp.asarray(rng.randint(1, v, (b, t)))
+        feat = jnp.asarray(rng.randn(b, 6), jnp.float32)
+        recon = jnp.asarray(rng.randn(b, 6), jnp.float32)
+        z_logit = jnp.asarray(rng.randn(b, v), jnp.float32)
+
+        def loss_of(kld, floor):
+            return compute_losses(
+                logits, targets, (feat, recon), jnp.asarray(kld), z_logit,
+                jnp.asarray(50), True, 0.5, 1.0, 0.1, 100,
+                kl_floor=floor).loss
+
+        # above the floor: identical to the floorless objective
+        np.testing.assert_allclose(float(loss_of(5.0, 3.0)),
+                                   float(loss_of(5.0, 0.0)), rtol=1e-6)
+        # below the floor: gradient w.r.t. kld vanishes...
+        g_below = jax.grad(loss_of)(1.0, 3.0)
+        assert float(g_below) == 0.0
+        # ...while the floorless objective still pulls
+        g_free = jax.grad(loss_of)(1.0, 0.0)
+        assert float(g_free) > 0.0
+        # elbo/kld REPORTING stays the true kld, not the floored term
+        out = compute_losses(logits, targets, (feat, recon),
+                             jnp.asarray(1.0), z_logit, jnp.asarray(50),
+                             True, 0.5, 1.0, 0.1, 100, kl_floor=3.0)
+        np.testing.assert_allclose(float(out.kld), 1.0, rtol=1e-6)
+
     def test_broadcast_ce_equals_materialized(self):
         """broadcast_token_ce (O(B·V), no [B,T,V] tensor) must equal the
         reference's broadcast-then-CE form in value AND gradient."""
