@@ -73,11 +73,33 @@ def _attrs(i: int):
 
 
 def learnable_question(a: int, b: int, cat: int, q_words) -> str:
-    """Deterministic 6-word template of (bg color, square color, category)."""
+    """Deterministic 6-word template of (bg color, square color, category).
+
+    Per-COMBO word hash: fine for the round-3 memorization corpus, but
+    USELESS under a combo holdout — words of held-out combos never occur
+    in training, so val references are OOV by construction.  Use
+    ``factored_question`` for generalization corpora."""
     nw = len(q_words)
     combo = a + NA * (b + NB * cat)
     return " ".join(q_words[(combo * p + j) % nw]
                     for j, p in enumerate(_POS_PRIMES)) + "?"
+
+
+def factored_question(a: int, b: int, cat: int, num_cats: int,
+                      q_words) -> str:
+    """6-word COMPOSITIONAL template: each position depends on ONE factor
+    (positions 0,3 ← bg; 1,4 ← square; 2,5 ← category), each factor value
+    naming two distinct words via an injective affine hash.  Every word
+    occurs in training under any combo holdout that keeps each factor
+    VALUE seen (combo_split guarantees that), so held-out combos are
+    decodable by composing trained factor→word mappings — the corpus the
+    round-4 generalization run uses (VERDICT r3 #4)."""
+    nw = len(q_words)
+    stride = NA + NB + num_cats
+    assert 2 * stride <= nw and nw % 7919 != 0
+    idx = (a, NA + b, NA + NB + cat,
+           stride + a, stride + NA + b, stride + NA + NB + cat)
+    return " ".join(q_words[(7919 * i + 13) % nw] for i in idx) + "?"
 
 
 def make_images_learnable(img_dir: str, split: str, num: int, im_size: int,
@@ -134,7 +156,8 @@ def combo_split(num_cats: int, holdout_frac: float, seed: int = 7):
 
 def make_qa_json_learnable(root: str, split: str, num_qa: int,
                            num_images: int, q_words, answers_by_cat,
-                           seed: int = 1, allowed_combos=None):
+                           seed: int = 1, allowed_combos=None,
+                           template: str = "combo"):
     """Learnable QA: question = ``learnable_question(a, b, cat)`` where
     (a, b) come from the drawn image's index; answer deterministic of the
     same triple (so input_mode=ans is learnable too).  ``allowed_combos``
@@ -155,8 +178,11 @@ def make_qa_json_learnable(root: str, split: str, num_qa: int,
             raise RuntimeError("no allowed combo drawable — holdout split "
                                "excludes every (image, category) pair?")
         ans = answers_by_cat[cats[ci]][combo % len(answers_by_cat[cats[ci]])]
+        q = (factored_question(a, b, ci, len(cats), q_words)
+             if template == "factored"
+             else learnable_question(a, b, ci, q_words))
         questions.append({"image_id": image_id, "question_id": qid,
-                          "question": learnable_question(a, b, ci, q_words)})
+                          "question": q})
         annotations.append({"image_id": image_id, "question_id": qid,
                             "multiple_choice_answer": ans})
     qp = os.path.join(root, f"questions_{split}.json")
@@ -243,6 +269,13 @@ def main():
                    help="with --learnable: hold out this fraction of "
                    "(attribute, category) combos from training; val draws "
                    "ONLY held-out combos (compositional generalization)")
+    p.add_argument("--template", choices=("combo", "factored"),
+                   default="combo",
+                   help="learnable question template: 'combo' (per-combo "
+                   "word hash — round-3 memorization corpus) or 'factored' "
+                   "(each word position depends on ONE factor — required "
+                   "for --holdout-frac generalization corpora, else "
+                   "held-out questions are OOV by construction)")
     args = p.parse_args()
 
     os.makedirs(args.root, exist_ok=True)
@@ -274,11 +307,18 @@ def main():
 
     t = time.time()
     qa_kw_train, qa_kw_val = {}, {}
+    if args.learnable and args.holdout_frac > 0 and args.template != "factored":
+        raise SystemExit(
+            "--holdout-frac requires --template factored: the per-combo "
+            "hash template makes held-out questions OOV by construction "
+            "(their words never occur in any training question)")
     if args.learnable and args.holdout_frac > 0:
         train_combos, heldout = combo_split(args.num_cats,
                                             args.holdout_frac)
         qa_kw_train["allowed_combos"] = train_combos
         qa_kw_val["allowed_combos"] = heldout
+    if args.learnable and args.template == "factored":
+        qa_kw_train["template"] = qa_kw_val["template"] = "factored"
         with open(os.path.join(args.root, "combo_split.json"), "w") as f:
             json.dump({"holdout_frac": args.holdout_frac,
                        "train": sorted(train_combos),

@@ -35,6 +35,54 @@ def test_learnable_question_deterministic_and_distinct():
     assert q1.endswith("?") and q1[:-1].replace(" ", "").isalpha()
 
 
+def test_factored_template_composes_from_single_factors():
+    """The generalization template (round 4): each word position depends on
+    ONE factor, all factor words are distinct, and — the property the
+    per-combo hash template lacked — every word of a HELD-OUT combo's
+    question already occurs in some training combo's question, so val is
+    never OOV."""
+    num_cats = 6
+    words = gen.make_word_list(500, seed=0)
+    q1 = gen.factored_question(3, 7, 5, num_cats, words)
+    assert q1 == gen.factored_question(3, 7, 5, num_cats, words)
+    toks = q1[:-1].split()
+    assert len(toks) == 6 and q1.endswith("?")
+    # position i changes iff its factor changes
+    qa = gen.factored_question(4, 7, 5, num_cats, words)[:-1].split()
+    qb = gen.factored_question(3, 8, 5, num_cats, words)[:-1].split()
+    qc = gen.factored_question(3, 7, 2, num_cats, words)[:-1].split()
+    assert [i for i in range(6) if qa[i] != toks[i]] == [0, 3]
+    assert [i for i in range(6) if qb[i] != toks[i]] == [1, 4]
+    assert [i for i in range(6) if qc[i] != toks[i]] == [2, 5]
+    # injective word assignment across all factor values
+    all_words = set()
+    for a in range(gen.NA):
+        all_words.update(
+            gen.factored_question(a, 0, 0, num_cats, words)[:-1].split())
+    for b in range(gen.NB):
+        all_words.update(
+            gen.factored_question(0, b, 0, num_cats, words)[:-1].split())
+    for c in range(num_cats):
+        all_words.update(
+            gen.factored_question(0, 0, c, num_cats, words)[:-1].split())
+    assert len(all_words) == 2 * (gen.NA + gen.NB + num_cats)
+    # no-OOV under any combo_split holdout: train covers every factor
+    # value, so the union of train-question words covers every val word
+    train, heldout = gen.combo_split(num_cats, 0.2)
+    seen = set()
+    for combo in train:
+        a, bc = combo % gen.NA, combo // gen.NA
+        b, c = bc % gen.NB, bc // gen.NB
+        seen.update(
+            gen.factored_question(a, b, c, num_cats, words)[:-1].split())
+    for combo in heldout:
+        a, bc = combo % gen.NA, combo // gen.NA
+        b, c = bc % gen.NB, bc // gen.NB
+        val_words = set(
+            gen.factored_question(a, b, c, num_cats, words)[:-1].split())
+        assert val_words <= seen, (combo, val_words - seen)
+
+
 def test_attrs_cycle_covers_all_combos():
     combos = {gen._attrs(i) for i in range(gen.NA * gen.NB)}
     assert len(combos) == gen.NA * gen.NB
