@@ -102,6 +102,23 @@ def factored_question(a: int, b: int, cat: int, num_cats: int,
     return " ".join(q_words[(7919 * i + 13) % nw] for i in idx) + "?"
 
 
+def factored_consistency_map(num_cats: int, q_words) -> dict:
+    """category NAME ('catN') → the two factored-template words positions
+    2/5 name for that category (the words present in EVERY question of the
+    category and in no other category's — injectivity per
+    factored_question).  Consumed by ``evaluate_iq --consistency-map`` for
+    the info-max consistency metric on factored corpora
+    (train/infomax.py mapped_word_consistency, which looks contexts up by
+    the decoded category word)."""
+    nw = len(q_words)
+    stride = NA + NB + num_cats
+    return {
+        f"cat{c}": [q_words[(7919 * (NA + NB + c) + 13) % nw],
+                    q_words[(7919 * (stride + NA + NB + c) + 13) % nw]]
+        for c in range(num_cats)
+    }
+
+
 def make_images_learnable(img_dir: str, split: str, num: int, im_size: int,
                           seed: int = 0):
     """Attribute-bearing JPEGs: background color ``i % NA``, centered square
@@ -325,6 +342,8 @@ def main():
                        "heldout": sorted(heldout)}, f)
         print(f"combo split: {len(train_combos)} train / {len(heldout)} "
               "held-out (val draws held-out only)")
+        with open(os.path.join(args.root, "consistency_map.json"), "w") as f:
+            json.dump(factored_consistency_map(args.num_cats, q_words), f)
     qp, ap = mk_qa(args.root, "train", args.num_qa, args.num_images,
                    q_words, answers_by_cat, seed=1, **qa_kw_train)
     vqp, vap = mk_qa(args.root, "val", args.val_qa, args.val_images,

@@ -19,6 +19,15 @@ import sys
 import numpy as np
 
 
+def open_eval_dataset(path, vocab, cat2name=None):
+    """A directory is a packed (mmap + native gather) dataset, a file the
+    reference-schema hdf5 — same dispatch as cli/train_iq.py."""
+    from blt_vqg_tpu.data.dataset import IQDataset
+    from blt_vqg_tpu.data.packed import PackedDataset
+    cls = PackedDataset if os.path.isdir(path) else IQDataset
+    return cls(path, vocab, cat2name)
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--model-dir", type=str, required=True,
@@ -38,6 +47,12 @@ def main(argv=None):
                         "and report diversity/consistency metrics (the "
                         "information-maximization eval, train/infomax.py); "
                         "default cfg.num_z_samples")
+    parser.add_argument("--consistency-map", type=str, default=None,
+                        help="JSON {category id: [words...]}: the info-max "
+                        "consistency predicate requires ALL the category's "
+                        "words in the question (factored corpora emit "
+                        "consistency_map.json); default: reserved-id "
+                        "contract word 6+cat")
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s %(message)s")
@@ -45,7 +60,6 @@ def main(argv=None):
 
     from blt_vqg_tpu.core.checkpoint import CheckpointManager
     from blt_vqg_tpu.core.config import Config
-    from blt_vqg_tpu.data.dataset import IQDataset
     from blt_vqg_tpu.data.loader import make_loader
     from blt_vqg_tpu.train.trainer import Trainer, filter_special_tokens
     from blt_vqg_tpu.text.vocabulary import load_vocab
@@ -54,7 +68,7 @@ def main(argv=None):
     vocab = load_vocab(cfg.vocab)
     dataset = args.dataset or cfg.val_dataset
     cat2name = cfg.cat2name if os.path.exists(cfg.cat2name) else None
-    ds = IQDataset(dataset, vocab, cat2name)
+    ds = open_eval_dataset(dataset, vocab, cat2name)
     loader = make_loader(ds, cfg.batch_size, cfg.input_mode, shuffle=False,
                          epochs=1)
 
@@ -70,6 +84,16 @@ def main(argv=None):
                                            "target")},
         resume=False)
     state = ckpt.restore(state, step=args.step)
+    # restore() hands back host (numpy) leaves; without an explicit
+    # device_put every jitted decode call re-uploads the ENTIRE state —
+    # params AND Adam moments, ~2.4 GB at flagship scale — through the
+    # ~130 MB/s tunnel (~19 s per call, measured round 4).  Pin the
+    # inference-relevant leaves on device once; the optimizer state is
+    # dead weight for eval and stays on host.
+    import jax
+    state = state.replace(
+        params=jax.device_put(state.params),
+        batch_stats=jax.device_put(state.batch_stats))
     latent = int(state.step) >= cfg.num_pretraining_steps
     log.info("evaluating checkpoint step %d (latent=%s)", int(state.step),
              latent)
@@ -131,10 +155,22 @@ def main(argv=None):
 
     if z_samples:
         from blt_vqg_tpu.train.infomax import (category_word_consistency,
-                                               diversity_metrics)
+                                               diversity_metrics,
+                                               mapped_word_consistency)
+        # z_contexts holds batch["answer_types"] = the VOCAB WORD ID of
+        # the category word (data/packed.py type_word), NOT the raw
+        # category index
+        if args.consistency_map:
+            with open(args.consistency_map) as f:
+                consistent_fn = mapped_word_consistency(json.load(f),
+                                                        vocab.idx2word)
+        else:
+            # reserved-id contract: type_word = raw category + 6
+            # (text/vocabulary.py), translate back for the predicate
+            base = category_word_consistency(vocab)
+            consistent_fn = lambda q, c: base(q, int(c) - 6)
         div = diversity_metrics(
-            z_samples, contexts=z_contexts,
-            consistent_fn=category_word_consistency(vocab))
+            z_samples, contexts=z_contexts, consistent_fn=consistent_fn)
         for k, v in div.items():
             log.info("infomax %s\t%.4f", k, v)
         scores = {**scores, **{f"infomax_{k}": v for k, v in div.items()}}
@@ -147,6 +183,9 @@ def main(argv=None):
         json.dump(preds, f)
     with open(os.path.join(results_dir, "gts.json"), "w") as f:
         json.dump(gts, f)
+    if z_samples:
+        with open(os.path.join(results_dir, "z_samples.json"), "w") as f:
+            json.dump({"contexts": z_contexts, "samples": z_samples}, f)
     log.info("wrote results/preds/gts to %s", results_dir)
     return 0
 

@@ -112,3 +112,30 @@ def category_word_consistency(vocab, num_reserved: int = 6
         word = vocab.idx2word.get(num_reserved + int(category))
         return word is not None and word in question.split()
     return fn
+
+
+def mapped_word_consistency(cat2words: Dict, idx2word: Optional[Dict] = None
+                            ) -> Callable[[str, object], bool]:
+    """Consistency predicate from an explicit category → word-list map
+    (e.g. the factored flagship corpus's ``consistency_map.json``, where
+    each category NAME maps to the two template words its questions must
+    contain — benchmarks/make_flagship_dataset.py factored_consistency_map).
+
+    The context evaluate_iq collects per image is the batch's
+    ``answer_types`` value — the VOCAB WORD ID of the category word
+    (data/packed.py:107 ``type_word``) — so with ``idx2word`` the lookup
+    key is the decoded category name ('cat2'); integer/str keys are also
+    accepted directly for raw-category maps.  A question is consistent
+    iff it contains ALL of the category's words."""
+    table = {str(k): list(v) for k, v in cat2words.items()}
+    def fn(question: str, category) -> bool:
+        expect = None
+        if idx2word is not None:
+            name = idx2word.get(int(category))
+            if name is not None:
+                expect = table.get(str(name))
+        if expect is None:
+            expect = table.get(str(int(category)))
+        words = set(question.split())
+        return bool(expect) and all(w in words for w in expect)
+    return fn

@@ -152,3 +152,21 @@ class TestAugment:
         a = aug(imgs, jax.random.key(0))
         b = aug(imgs, jax.random.key(7))
         assert not np.allclose(np.asarray(a), np.asarray(b))
+
+
+class TestEvalDatasetDispatch:
+    def test_open_eval_dataset_file_vs_dir(self, synth, tmp_path):
+        """cli.evaluate_iq must open packed DIRECTORIES with PackedDataset
+        and hdf5 FILES with IQDataset (same dispatch as cli/train_iq.py) —
+        regression for the round-4 infomax eval run, which crashed trying
+        to h5py-open a packed dir (reference evaluate_iq.py:150-156 only
+        ever sees hdf5)."""
+        from blt_vqg_tpu.cli.evaluate_iq import open_eval_dataset
+        from blt_vqg_tpu.data.packed import PackedDataset, pack_hdf5
+        h5, vocab = synth
+        ds_file = open_eval_dataset(h5, vocab)
+        assert isinstance(ds_file, IQDataset)
+        packed_dir = pack_hdf5(h5, str(tmp_path / "packed"))
+        ds_dir = open_eval_dataset(packed_dir, vocab)
+        assert isinstance(ds_dir, PackedDataset)
+        assert len(ds_dir) == len(ds_file)

@@ -202,3 +202,37 @@ class TestDiversityMetrics:
         assert draws[0].shape[0] == tiny_cfg.batch_size
         # independent keys: at least one pair differs (untrained prior)
         assert any(not np.array_equal(draws[0], d) for d in draws[1:])
+
+
+class TestMappedWordConsistency:
+    def test_all_words_required_per_category(self):
+        """mapped_word_consistency: consistent iff the question contains ALL
+        of the category's mapped words (the factored corpus names two words
+        per category — benchmarks/make_flagship_dataset.py
+        factored_consistency_map)."""
+        from blt_vqg_tpu.train.infomax import mapped_word_consistency
+        fn = mapped_word_consistency({"0": ["ka", "ro"], "1": ["mi", "ta"]})
+        assert fn("pa ka de ro ?", 0)
+        assert not fn("pa ka de de ?", 0)      # only one of the two
+        assert not fn("pa ka de ro ?", 1)      # other category's words
+        assert fn("mi ta", 1)
+        assert not fn("anything", 7)           # unmapped category
+
+    def test_json_string_keys_accepted(self):
+        from blt_vqg_tpu.train.infomax import mapped_word_consistency
+        fn = mapped_word_consistency({"3": ["lu"]})
+        assert fn("lu ne", 3) and fn("lu ne", np.int32(3))
+
+    def test_type_word_contexts_via_idx2word(self):
+        """evaluate_iq contexts are the category word's VOCAB ID
+        (data/packed.py type_word); with idx2word the lookup key is the
+        decoded category name — regression for the round-4 flagship eval,
+        where name-keyed maps scored 0.0 against raw word-id contexts."""
+        from blt_vqg_tpu.train.infomax import mapped_word_consistency
+        idx2word = {88: "cat2", 457: "cat11"}
+        fn = mapped_word_consistency(
+            {"cat2": ["ka", "ro"], "cat11": ["mi"]}, idx2word)
+        assert fn("pa ka ro ?", 88)
+        assert not fn("pa ka ro ?", 457)
+        assert fn("mi mi ?", np.int32(457))
+        assert not fn("ka ro", 999)            # unknown word id
