@@ -52,12 +52,19 @@ def main():
 
     cfg = Config.load(os.path.join(args.model_dir, "args.json"))
     vocab = load_vocab(cfg.vocab)
-    ds = PackedDataset(args.val)
+    cat2name = cfg.cat2name if os.path.exists(cfg.cat2name) else None
+    ds = PackedDataset(args.val, vocab, cat2name)
+    # same eval-time resize/normalize the Trainer applies before decode
+    # (train/trainer.py augment_eval) — packed images are raw pixels
+    from blt_vqg_tpu.data.augment import make_augment_fn
+    augment = make_augment_fn(cfg.image_size, train=False)
     b = cfg.batch_size
     batches = []
     for i in range(args.batches):
         raw = ds.batch(np.arange(i * b, (i + 1) * b) % len(ds))
-        batches.append(example_from_row(raw, cfg.input_mode))
+        ex = example_from_row(raw, cfg.input_mode)
+        ex["images"] = augment(ex["images"], jax.random.key(i))
+        batches.append(ex)
 
     latent = True  # flagship run ends past num_pretraining_steps
     results = {}
@@ -72,6 +79,11 @@ def main():
         state = CheckpointManager(
             os.path.join(args.model_dir, "checkpoints"),
             backend=c.checkpoint_backend).restore(state)
+        # restore() returns host leaves: device_put once or every decode
+        # call re-uploads the full state through the tunnel
+        # (cli/evaluate_iq.py, same fix)
+        state = state.replace(params=jax.device_put(state.params),
+                              batch_stats=jax.device_put(state.batch_stats))
         step = int(state.step)
         dec = make_decode_step(c, model, latent_mode=latent,
                                with_probe=False)
