@@ -31,9 +31,14 @@ def log(*a):
 def main():
     import argparse
     ap = argparse.ArgumentParser()
-    ap.add_argument("--variants", default="xla,fused,stream,stream_int8",
-                    help="comma list: xla,fused,stream,stream_int8 "
-                    "(xla always runs first as the ratio baseline)")
+    ap.add_argument("--variants",
+                    default="xla,fused,stream,stream_nofh,stream_int8,"
+                    "stream_int8_nofh",
+                    help="comma list: xla,fused,stream,stream_nofh,"
+                    "stream_int8,stream_int8_nofh — *_nofh disables the "
+                    "fused decode head (ops/pallas/decode_head.py) that is "
+                    "otherwise on by default on stream paths (xla always "
+                    "runs first as the ratio baseline)")
     cli = ap.parse_args()
     wanted = set(cli.variants.split(","))
 
@@ -59,8 +64,13 @@ def main():
     variants = (("xla", cfg),
                 ("fused", cfg.replace(use_pallas_decode=True)),
                 ("stream", cfg.replace(use_stream_decode=True)),
+                ("stream_nofh", cfg.replace(use_stream_decode=True,
+                                            stream_fused_head=False)),
                 ("stream_int8", cfg.replace(use_stream_decode=True,
-                                            stream_weight_dtype="int8")))
+                                            stream_weight_dtype="int8")),
+                ("stream_int8_nofh", cfg.replace(use_stream_decode=True,
+                                                 stream_weight_dtype="int8",
+                                                 stream_fused_head=False)))
     variants = [(n, c) for n, c in variants if n == "xla" or n in wanted]
     for name, c in variants:
         model = IQ(c, vocab_size)
@@ -101,7 +111,7 @@ def main():
         results[name] = {"qps": round(qps, 2),
                          "us_per_step": round(per_step_us, 2)}
 
-    for n in ("stream", "stream_int8"):
+    for n in ("stream", "stream_nofh", "stream_int8", "stream_int8_nofh"):
         if n in results:
             results[f"{n}_vs_xla"] = round(results[n]["qps"]
                                            / results["xla"]["qps"], 3)

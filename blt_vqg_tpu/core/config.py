@@ -111,6 +111,13 @@ class Config:
                                       # kernel's weight-DMA floor; serving
                                       # knob with a quantization-accuracy
                                       # cost
+    stream_fused_head: bool = True    # on the streaming serving decode, fuse
+                                      # final-LN + vocab projection + argmax
+                                      # into one Pallas kernel, head weights
+                                      # streamed in cfg.dtype (or int8 when
+                                      # stream_weight_dtype is int8) instead
+                                      # of the XLA f32 head
+                                      # (ops/pallas/decode_head.py)
     remat: bool = False               # jax.checkpoint the transformer blocks
     seed: int = 0
     image_size: int = 224
@@ -375,6 +382,12 @@ def add_config_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     parser.add_argument("--stream_weight_dtype", type=str,
                         default=defaults.stream_weight_dtype,
                         choices=("bfloat16", "int8"))
+    parser.add_argument("--stream_fused_head",
+                        action=argparse.BooleanOptionalAction,
+                        default=defaults.stream_fused_head,
+                        help="fuse final-LN + vocab projection + argmax into "
+                        "one streamed Pallas kernel on the serving decode "
+                        "(ops/pallas/decode_head.py)")
     parser.add_argument("--tie_output_z", action="store_true")
     parser.add_argument("--num_seq_shards", type=int, default=1,
                         help="size of the 'seq' mesh axis (with "

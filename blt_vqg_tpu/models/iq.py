@@ -414,6 +414,35 @@ class IQ(nn.Module):
 
         inject = (image_features + z_proj).astype(jnp.dtype(cfg.dtype))
 
+        # Fused decode head (serving path): final-LN + vocab projection +
+        # argmax in one Pallas kernel with the [D, V] head streamed in the
+        # decode dtype (ops/pallas/decode_head.py).  All the prep below is
+        # loop-invariant, so XLA hoists it out of the decode scan.  Probe
+        # and beam paths need full logits and keep the XLA f32 head.
+        use_fused_head = (cfg.use_stream_decode and cfg.stream_fused_head
+                          and not with_probe)
+        if use_fused_head:
+            from blt_vqg_tpu.ops.pallas.decode_head import (
+                head_argmax, head_chunk, pad_head)
+            hp = self.output_proj.variables["params"]
+            head_w = hp["kernel"].astype(jnp.float32)        # [D, V]
+            head_b = hp["bias"].astype(jnp.float32)          # [V]
+            chunk = head_chunk(head_w.shape[1])
+            head_scales = None
+            if cfg.stream_weight_dtype == "int8":
+                from blt_vqg_tpu.ops.pallas.decode_stream import \
+                    quantize_stack
+                head_w, head_scales = quantize_stack(head_w)
+                head_w, head_b = pad_head(head_w, head_b, chunk)
+                head_scales = jnp.pad(
+                    head_scales, ((0, 0),
+                                  (0, head_w.shape[1] - head_scales.shape[1])),
+                    constant_values=1.0)
+            else:
+                head_w, head_b = pad_head(
+                    head_w.astype(jnp.dtype(cfg.dtype)), head_b, chunk)
+            lnp = self.decoder.final_ln.variables["params"]
+
         def one_step(token, caches, key_pad, pos):
             x_t = self.embed_tokens(token[:, None])
             # position-0 injection of image(+z) features, matching the
@@ -423,7 +452,13 @@ class IQ(nn.Module):
             if key_pad is not None:
                 key_pad = key_pad.at[:, pos].set(token == PAD)
             y_t, caches = self.decoder.step(x_t, caches, cross_kvs, pos,
-                                            src_mask, key_pad)
+                                            src_mask, key_pad,
+                                            skip_final_ln=use_fused_head)
+            if use_fused_head:
+                next_token = head_argmax(
+                    y_t[:, 0], lnp["scale"], lnp["bias"], head_w, head_b,
+                    chunk=chunk, scales=head_scales)
+                return next_token, caches, key_pad, None, None
             logits_t = self.output_proj(y_t[:, 0].astype(jnp.float32))
             next_token = jnp.argmax(logits_t, axis=-1).astype(jnp.int32)
             if not with_probe:

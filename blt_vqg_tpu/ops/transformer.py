@@ -395,12 +395,14 @@ class TransformerDecoder(nn.Module):
         return [(z, z) for _ in range(self.num_layers)]
 
     def step(self, x_t, caches, cross_kvs, pos, src_mask=None,
-             key_pad=None):
+             key_pad=None, skip_final_ln: bool = False):
         """One decode step: x_t [B,1,D] at position ``pos``.
 
         ``key_pad`` [B, L] (optional) masks pad-*token* keys in decode
         self-attention like the reference does (see DecoderLayer.step).
-        Returns (normed output [B,1,D], updated caches).
+        ``skip_final_ln=True`` returns the raw stack output (the fused
+        decode head, ops/pallas/decode_head.py, applies the final LN
+        itself).  Returns (output [B,1,D], updated caches).
         """
         sig = jnp.asarray(
             timing_signal(self.max_decode_len, self.hidden_dim, dtype=x_t.dtype))
@@ -410,16 +412,20 @@ class TransformerDecoder(nn.Module):
                 raise ValueError(
                     "compat_decode_pad_mask is not supported on the "
                     "streaming decode path (use_stream_decode)")
-            return self._step_stream(x_t, caches, cross_kvs, pos, src_mask)
+            return self._step_stream(x_t, caches, cross_kvs, pos, src_mask,
+                                     skip_final_ln)
         new_caches = []
         for layer, (cache_k, cache_v), (ck, cv) in zip(
                 self.layers, caches, cross_kvs):
             x_t, cache_k, cache_v = layer.step(
                 x_t, cache_k, cache_v, ck, cv, pos, src_mask, key_pad)
             new_caches.append((cache_k, cache_v))
+        if skip_final_ln:
+            return x_t, new_caches
         return self.final_ln(x_t), new_caches
 
-    def _step_stream(self, x_t, caches, cross_kvs, pos, src_mask):
+    def _step_stream(self, x_t, caches, cross_kvs, pos, src_mask,
+                     skip_final_ln: bool = False):
         """Whole-stack streaming decode step: one Pallas kernel over
         grid (layers, stages) with weights/caches pipelined HBM→VMEM
         (ops/pallas/decode_stream.py).  All the stacking below is
@@ -526,4 +532,6 @@ class TransformerDecoder(nn.Module):
             k_all, k_new[:, :, None], (0, 0, pos, 0, 0))
         v_all = jax.lax.dynamic_update_slice(
             v_all, v_new[:, :, None], (0, 0, pos, 0, 0))
+        if skip_final_ln:
+            return x_out[:, None], [(k_all, v_all)]
         return self.final_ln(x_out[:, None]), [(k_all, v_all)]
