@@ -199,10 +199,28 @@ def bench_jax() -> dict:
 
     decode_qps_stream = BATCH / _slope_time(run_stream, 3, 13)
 
+    # ---- stream + int8 fused head: the measured-best serving config —
+    # bf16 stack, the [D, V] output head streamed int8 through the fused
+    # final-LN+projection+argmax kernel (ops/pallas/decode_head.py;
+    # stream_fused_head="auto" engages it for int8 heads)
+    cfg_h8 = cfg.replace(use_stream_decode=True, stream_head_dtype="int8")
+    model_h8 = IQ(cfg_h8, vocab_size)
+    dec_h8 = make_decode_step(cfg_h8, model_h8, latent_mode=True,
+                              with_probe=False)
+
+    def run_h8(k):
+        for i in range(k):
+            out = dec_h8(state, batch["images"], batch["context"],
+                         jax.random.key(i))
+        return float(tok_sum(out["tokens"]))
+
+    decode_qps_stream_h8 = BATCH / _slope_time(run_h8, 3, 13)
+
     # ---- int8 weight streaming: same kernel, stacked weights quantized
     # (per-column scales) and dequantized in VMEM per stage — half the
     # weight-DMA floor (serving knob with a quantization-accuracy cost;
-    # accuracy measured by benchmarks/eval_stream_int8.py)
+    # accuracy measured by benchmarks/eval_stream_int8.py).  The fused
+    # int8 head auto-engages here too.
     cfg_s8 = cfg.replace(use_stream_decode=True, stream_weight_dtype="int8")
     model_s8 = IQ(cfg_s8, vocab_size)
     dec_s8 = make_decode_step(cfg_s8, model_s8, latent_mode=True,
@@ -286,6 +304,7 @@ def bench_jax() -> dict:
         f"{train_sps_diet:.1f} diet, "
         f"{train_sps_256:.1f} (b256), {decode_qps:.1f} q/s serving decode "
         f"({decode_qps_stream:.1f} stream-kernel, "
+        f"{decode_qps_stream_h8:.1f} stream+int8-head, "
         f"{decode_qps_stream_int8:.1f} stream-int8, {decode_qps_probe:.1f} "
         f"probed, {decode_qps_512:.1f} @b512), "
         f"compile {compile_s:.1f}s")
@@ -294,6 +313,7 @@ def bench_jax() -> dict:
             "decode_qps": decode_qps, "decode_qps_probe": decode_qps_probe,
             "decode_qps_512": decode_qps_512,
             "decode_qps_stream": decode_qps_stream,
+            "decode_qps_stream_h8": decode_qps_stream_h8,
             "decode_qps_stream_int8": decode_qps_stream_int8,
             "platform": platform, "compile_s": compile_s,
             "step_ms": step_ms,
@@ -531,6 +551,8 @@ def main():
         "decode_questions_per_sec_batch512": round(jx["decode_qps_512"], 2),
         "decode_questions_per_sec_stream_kernel": round(
             jx["decode_qps_stream"], 2),
+        "decode_questions_per_sec_stream_h8": round(
+            jx["decode_qps_stream_h8"], 2),
         "decode_questions_per_sec_stream_int8": round(
             jx["decode_qps_stream_int8"], 2),
         "compile_s": round(jx["compile_s"], 1),

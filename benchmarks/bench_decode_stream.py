@@ -32,13 +32,15 @@ def main():
     import argparse
     ap = argparse.ArgumentParser()
     ap.add_argument("--variants",
-                    default="xla,fused,stream,stream_nofh,stream_int8,"
-                    "stream_int8_nofh",
-                    help="comma list: xla,fused,stream,stream_nofh,"
-                    "stream_int8,stream_int8_nofh — *_nofh disables the "
-                    "fused decode head (ops/pallas/decode_head.py) that is "
-                    "otherwise on by default on stream paths (xla always "
-                    "runs first as the ratio baseline)")
+                    default="xla,fused,stream,stream_fh,stream_h8,"
+                    "stream_int8,stream_int8_nofh",
+                    help="comma list: xla,fused,stream,stream_fh,"
+                    "stream_h8,stream_int8,stream_int8_nofh — stream_fh "
+                    "forces the fused decode head at the stack dtype "
+                    "(ops/pallas/decode_head.py), stream_h8 streams ONLY "
+                    "the head in int8 (bf16 stack; auto-enables the fused "
+                    "head), *_nofh forces it off (xla always runs first as "
+                    "the ratio baseline)")
     cli = ap.parse_args()
     wanted = set(cli.variants.split(","))
 
@@ -64,13 +66,15 @@ def main():
     variants = (("xla", cfg),
                 ("fused", cfg.replace(use_pallas_decode=True)),
                 ("stream", cfg.replace(use_stream_decode=True)),
-                ("stream_nofh", cfg.replace(use_stream_decode=True,
-                                            stream_fused_head=False)),
+                ("stream_fh", cfg.replace(use_stream_decode=True,
+                                          stream_fused_head="on")),
+                ("stream_h8", cfg.replace(use_stream_decode=True,
+                                          stream_head_dtype="int8")),
                 ("stream_int8", cfg.replace(use_stream_decode=True,
                                             stream_weight_dtype="int8")),
                 ("stream_int8_nofh", cfg.replace(use_stream_decode=True,
                                                  stream_weight_dtype="int8",
-                                                 stream_fused_head=False)))
+                                                 stream_fused_head="off")))
     variants = [(n, c) for n, c in variants if n == "xla" or n in wanted]
     for name, c in variants:
         model = IQ(c, vocab_size)
@@ -111,7 +115,8 @@ def main():
         results[name] = {"qps": round(qps, 2),
                          "us_per_step": round(per_step_us, 2)}
 
-    for n in ("stream", "stream_nofh", "stream_int8", "stream_int8_nofh"):
+    for n in ("stream", "stream_fh", "stream_h8", "stream_int8",
+              "stream_int8_nofh"):
         if n in results:
             results[f"{n}_vs_xla"] = round(results[n]["qps"]
                                            / results["xla"]["qps"], 3)

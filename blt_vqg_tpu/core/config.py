@@ -111,13 +111,22 @@ class Config:
                                       # kernel's weight-DMA floor; serving
                                       # knob with a quantization-accuracy
                                       # cost
-    stream_fused_head: bool = True    # on the streaming serving decode, fuse
+    stream_fused_head: str = "auto"   # on the streaming serving decode, fuse
                                       # final-LN + vocab projection + argmax
-                                      # into one Pallas kernel, head weights
-                                      # streamed in cfg.dtype (or int8 when
-                                      # stream_weight_dtype is int8) instead
-                                      # of the XLA f32 head
-                                      # (ops/pallas/decode_head.py)
+                                      # into one Pallas kernel with the head
+                                      # weights streamed at stream_head_dtype
+                                      # (ops/pallas/decode_head.py).
+                                      # "auto" enables it exactly where it is
+                                      # measured a win — when the head
+                                      # streams int8 (bf16 head parity-ties
+                                      # XLA's hoisted-cast head, METHODOLOGY
+                                      # round-4); "on"/"off" force it
+    stream_head_dtype: str = "auto"   # fused-head weight stream dtype:
+                                      # "auto" follows stream_weight_dtype,
+                                      # or explicit "bfloat16"/"int8".  int8
+                                      # halves the head's ~24 MB/step bf16
+                                      # stream (measured zero NLG delta,
+                                      # benchmarks/METHODOLOGY.md round-4)
     remat: bool = False               # jax.checkpoint the transformer blocks
     seed: int = 0
     image_size: int = 224
@@ -382,12 +391,18 @@ def add_config_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     parser.add_argument("--stream_weight_dtype", type=str,
                         default=defaults.stream_weight_dtype,
                         choices=("bfloat16", "int8"))
-    parser.add_argument("--stream_fused_head",
-                        action=argparse.BooleanOptionalAction,
+    parser.add_argument("--stream_fused_head", type=str,
                         default=defaults.stream_fused_head,
+                        choices=("auto", "on", "off"),
                         help="fuse final-LN + vocab projection + argmax into "
                         "one streamed Pallas kernel on the serving decode "
-                        "(ops/pallas/decode_head.py)")
+                        "(ops/pallas/decode_head.py); auto = on iff the "
+                        "head streams int8 (the measured-win regime)")
+    parser.add_argument("--stream_head_dtype", type=str,
+                        default=defaults.stream_head_dtype,
+                        choices=("auto", "bfloat16", "int8"),
+                        help="fused-head weight stream dtype; auto follows "
+                        "--stream_weight_dtype")
     parser.add_argument("--tie_output_z", action="store_true")
     parser.add_argument("--num_seq_shards", type=int, default=1,
                         help="size of the 'seq' mesh axis (with "

@@ -415,12 +415,21 @@ class IQ(nn.Module):
         inject = (image_features + z_proj).astype(jnp.dtype(cfg.dtype))
 
         # Fused decode head (serving path): final-LN + vocab projection +
-        # argmax in one Pallas kernel with the [D, V] head streamed in the
-        # decode dtype (ops/pallas/decode_head.py).  All the prep below is
-        # loop-invariant, so XLA hoists it out of the decode scan.  Probe
+        # argmax in one Pallas kernel with the [D, V] head streamed at
+        # stream_head_dtype (ops/pallas/decode_head.py).  All the prep below
+        # is loop-invariant, so XLA hoists it out of the decode scan.  Probe
         # and beam paths need full logits and keep the XLA f32 head.
-        use_fused_head = (cfg.use_stream_decode and cfg.stream_fused_head
-                          and not with_probe)
+        # The head stream dtype is independent of the stack's: int8 head +
+        # bf16 stack is the measured serving sweet spot (METHODOLOGY.md
+        # round-4), so "auto" enables the fused head exactly there — a bf16
+        # head only parity-ties XLA's hoisted-cast head.
+        head_dt = cfg.stream_head_dtype
+        if head_dt == "auto":
+            head_dt = cfg.stream_weight_dtype
+        use_fused_head = (cfg.use_stream_decode and not with_probe
+                          and (cfg.stream_fused_head == "on"
+                               or (cfg.stream_fused_head == "auto"
+                                   and head_dt == "int8")))
         if use_fused_head:
             from blt_vqg_tpu.ops.pallas.decode_head import (
                 head_argmax, head_chunk, pad_head)
@@ -429,7 +438,7 @@ class IQ(nn.Module):
             head_b = hp["bias"].astype(jnp.float32)          # [V]
             chunk = head_chunk(head_w.shape[1])
             head_scales = None
-            if cfg.stream_weight_dtype == "int8":
+            if head_dt == "int8":
                 from blt_vqg_tpu.ops.pallas.decode_stream import \
                     quantize_stack
                 head_w, head_scales = quantize_stack(head_w)
@@ -439,6 +448,8 @@ class IQ(nn.Module):
                                   (0, head_w.shape[1] - head_scales.shape[1])),
                     constant_values=1.0)
             else:
+                # "bfloat16" mirrors the stack convention: stream at the
+                # model compute dtype (f32 models stream f32 for exactness)
                 head_w, head_b = pad_head(
                     head_w.astype(jnp.dtype(cfg.dtype)), head_b, chunk)
             lnp = self.decoder.final_ln.variables["params"]

@@ -1,16 +1,21 @@
 """Fused decode head (Pallas): final LayerNorm + vocab projection + argmax
 in ONE kernel, the [D, V] head weights streamed HBM→VMEM in chunks.
 
-Motivation (benchmarks/METHODOLOGY.md round-4): on the streaming decode
+Motivation (benchmarks/METHODOLOGY.md round-4b): on the streaming decode
 path (ops/pallas/decode_stream.py) the remaining per-step work OUTSIDE the
-stack kernel is the final LN, the f32 vocab projection and the argmax —
-at the flagship bench config (D=1024, V=12000) the f32 head alone moves
-~49 MB/step, a third of the whole streamed decoder stack, and none of it
-overlaps the stack kernel.  This kernel
+stack kernel is the final LN, the vocab projection and the argmax.  NOTE
+the measured reality: XLA already converts the loop-invariant f32 head to
+bf16 (default TPU matmul precision) and hoists the convert out of the
+decode scan, so a bf16-streamed fused head only PARITY-TIES XLA's bytes
+(measured a small loss from kernel-call overhead).  The win is the INT8
+head — half the real bf16 bytes (12.3 MB/step at D=1024, V=12k), measured
+356.7 µs/step vs 360.0 no-fuse at flagship b64 and +13% on the int8
+stack — which is why ``stream_fused_head="auto"`` engages this kernel
+exactly when the head streams int8.  This kernel
 
-- streams the head weights in ``dtype`` (bf16 halves the f32 bytes) or
-  int8 (quarter), chunked over the vocab dim so Pallas's automatic block
-  pipelining overlaps each chunk's DMA with the previous chunk's GEMM;
+- streams the head weights in ``dtype`` or int8, chunked over the vocab
+  dim so Pallas's automatic block pipelining overlaps each chunk's DMA
+  with the previous chunk's GEMM;
 - computes the final LayerNorm once into VMEM scratch (f32 stats, same
   recipe as decode_stream._layernorm / flax LayerNorm);
 - keeps a running (max, argmax) pair across chunks and emits ONLY the

@@ -149,8 +149,8 @@ class TestFusedHeadServing:
         target = r.randint(1, vocab_size,
                            (b, cfg.max_q_length)).astype(np.int32)
 
-        fused = IQ(cfg.replace(stream_fused_head=True), vocab_size)
-        plain = IQ(cfg.replace(stream_fused_head=False), vocab_size)
+        fused = IQ(cfg.replace(stream_fused_head="on"), vocab_size)
+        plain = IQ(cfg.replace(stream_fused_head="off"), vocab_size)
         rngs = {"params": jax.random.key(0), "latent": jax.random.key(1),
                 "dropout": jax.random.key(2)}
         variables = plain.init(rngs, images, context, posterior, target,
@@ -168,6 +168,86 @@ class TestFusedHeadServing:
         np.testing.assert_array_equal(np.asarray(es["tokens"]),
                                       np.asarray(out_p["tokens"]))
 
+    def test_auto_gating(self, vocab_size, monkeypatch):
+        """stream_fused_head="auto" enables the fused head exactly when the
+        head streams int8 (the measured-win regime, METHODOLOGY round-4)."""
+        import blt_vqg_tpu.ops.pallas.decode_head as dh
+
+        calls = []
+        real = dh.head_argmax
+        monkeypatch.setattr(dh, "head_argmax",
+                            lambda *a, **k: calls.append(1) or real(*a, **k))
+        cfg = Config(emb_dim=16, hidden_dim=32, latent_dim=24, pwffn_dim=64,
+                     num_layers=1, num_heads=4, max_q_length=10,
+                     max_a_length=4, max_decode_length=4,
+                     attention_dropout=0.0, relu_dropout=0.0,
+                     dtype="float32", image_size=32, use_stream_decode=True)
+        assert cfg.stream_fused_head == "auto"
+        r = np.random.RandomState(5)
+        images = r.rand(1, 32, 32, 3).astype(np.float32)
+        context = r.randint(1, vocab_size,
+                            (1, cfg.max_context_len)).astype(np.int32)
+        posterior = r.randint(1, vocab_size,
+                              (1, cfg.max_posterior_len)).astype(np.int32)
+        target = r.randint(1, vocab_size,
+                           (1, cfg.max_q_length)).astype(np.int32)
+        model = IQ(cfg, vocab_size)
+        rngs = {"params": jax.random.key(0), "latent": jax.random.key(1),
+                "dropout": jax.random.key(2)}
+        variables = model.init(rngs, images, context, posterior, target,
+                               latent_mode=False, train=False)
+        kw = dict(max_decode_length=cfg.max_decode_length, latent_mode=False,
+                  with_probe=False, method=IQ.decode_greedy)
+        model.apply(variables, images, context, **kw)
+        assert not calls  # auto + non-int8 head: XLA head, no kernel
+
+        m8 = IQ(cfg.replace(stream_head_dtype="int8"), vocab_size)
+        m8.apply(variables, images, context, **kw)
+        assert calls      # auto + int8 head: fused kernel engaged
+
+    def test_int8_head_on_f32_stack(self, vocab_size):
+        """stream_head_dtype=int8 quantizes ONLY the head (stack stays at
+        the compute dtype): decode runs and the tokens match an oracle
+        decode whose output head is quantize->dequantized the same way."""
+        cfg = Config(emb_dim=16, hidden_dim=32, latent_dim=24, pwffn_dim=64,
+                     num_layers=2, num_heads=4, max_q_length=10,
+                     max_a_length=4, max_decode_length=8,
+                     attention_dropout=0.0, relu_dropout=0.0,
+                     dtype="float32", image_size=32,
+                     use_stream_decode=True, stream_head_dtype="int8")
+        r = np.random.RandomState(2)
+        b = 2
+        images = r.rand(b, 32, 32, 3).astype(np.float32)
+        context = r.randint(1, vocab_size,
+                            (b, cfg.max_context_len)).astype(np.int32)
+        posterior = r.randint(1, vocab_size,
+                              (b, cfg.max_posterior_len)).astype(np.int32)
+        target = r.randint(1, vocab_size,
+                           (b, cfg.max_q_length)).astype(np.int32)
+        model = IQ(cfg, vocab_size)
+        rngs = {"params": jax.random.key(0), "latent": jax.random.key(1),
+                "dropout": jax.random.key(2)}
+        variables = model.init(rngs, images, context, posterior, target,
+                               latent_mode=True, train=False)
+        kw = dict(max_decode_length=cfg.max_decode_length, latent_mode=True,
+                  with_probe=False, method=IQ.decode_greedy)
+        got = model.apply(variables, images, context, **kw,
+                          rngs={"latent": jax.random.key(3)})
+
+        # oracle: same model, XLA head, but with the head params replaced by
+        # their int8 quantize->dequantize image (what the kernel computes)
+        w = variables["params"]["output_proj"]["kernel"]
+        w8, s = quantize_stack(w)
+        deq = jax.tree_util.tree_map(lambda x: x, variables)
+        deq["params"]["output_proj"] = dict(
+            variables["params"]["output_proj"],
+            kernel=(w8.astype(jnp.float32) * s).astype(w.dtype))
+        plain = IQ(cfg.replace(stream_fused_head="off"), vocab_size)
+        want = plain.apply(deq, images, context, **kw,
+                           rngs={"latent": jax.random.key(3)})
+        np.testing.assert_array_equal(np.asarray(got["tokens"]),
+                                      np.asarray(want["tokens"]))
+
     def test_probe_path_keeps_xla_head(self, vocab_size):
         """with_probe=True needs full logits: the fused-head flag must not
         change the probe outputs (they come from the XLA head)."""
@@ -176,7 +256,7 @@ class TestFusedHeadServing:
                      max_a_length=4, max_decode_length=6,
                      attention_dropout=0.0, relu_dropout=0.0,
                      dtype="float32", image_size=32,
-                     use_stream_decode=True, stream_fused_head=True)
+                     use_stream_decode=True, stream_fused_head="on")
         r = np.random.RandomState(1)
         images = r.rand(1, 32, 32, 3).astype(np.float32)
         context = r.randint(1, vocab_size,
