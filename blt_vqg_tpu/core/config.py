@@ -249,6 +249,14 @@ class Config:
                                       # parity runs bit-faithful.  Second
                                       # moments stay f32 (sqrt of a tiny
                                       # value needs the mantissa).
+    grad_dtype: str = "float32"       # "bfloat16" stores gradients bf16:
+                                      # XLA fuses the cast into the dW GEMM
+                                      # epilogues so the f32 grads never
+                                      # round-trip HBM (~1 GB/step at the
+                                      # flagship config).  Optimizer math
+                                      # still promotes to f32 (moments/
+                                      # masters unchanged); diet knob, off
+                                      # for bit-faithful parity runs.
 
     # ------------------------------------------------------------------
     def replace(self, **kw) -> "Config":
@@ -421,6 +429,12 @@ def add_config_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     parser.add_argument("--adam_mu_dtype", type=str,
                         default=defaults.adam_mu_dtype,
                         choices=("float32", "bfloat16"))
+    parser.add_argument("--grad_dtype", type=str,
+                        default=defaults.grad_dtype,
+                        choices=("float32", "bfloat16"),
+                        help="gradient storage dtype; bfloat16 halves grad "
+                        "HBM round-trips (diet knob, optimizer math stays "
+                        "f32)")
     parser.add_argument("--checkpoint_param_dtype", type=str,
                         default=defaults.checkpoint_param_dtype,
                         choices=("float32", "bfloat16"))

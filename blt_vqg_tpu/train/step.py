@@ -64,6 +64,13 @@ def _step_core(state: TrainState, batch: Dict[str, jnp.ndarray],
     grad_fn = jax.value_and_grad(_loss_fn, has_aux=True)
     (_, (out, new_stats)), grads = grad_fn(
         state.params, state, batch, rng, cfg, latent_mode)
+    if cfg.grad_dtype != "float32":
+        # bf16 grad storage (diet knob): the cast fuses into each dW GEMM's
+        # epilogue, so the f32 gradient tree never round-trips HBM; the
+        # optimizer promotes back to f32 for the moment/master math
+        # (train/fused_adam.py update_params, and optax's own promotion)
+        gd = jnp.dtype(cfg.grad_dtype)
+        grads = jax.tree_util.tree_map(lambda g: g.astype(gd), grads)
     new_state, gnorm = state.apply_gradients_with_norm(
         grads, new_batch_stats=new_stats,
         kliter_inc=1 if latent_mode else 0)

@@ -246,6 +246,58 @@ class TestAdamMuDtype:
             {jnp.dtype(jnp.bfloat16)}
 
 
+class TestGradDtype:
+    def test_bf16_grads_track_f32_run(self, tiny_cfg, vocab_size):
+        """grad_dtype='bfloat16' (diet knob): gradients are stored bf16 on
+        the way into the optimizer — training must step finitely on BOTH
+        optimizer impls and track the f32-grad run to bf16 tolerance over a
+        few steps (moments/params stay f32: only the grad leaves lose
+        mantissa)."""
+        from blt_vqg_tpu.models.iq import IQ
+        from blt_vqg_tpu.train.state import create_train_state
+        from blt_vqg_tpu.train.step import make_train_step
+
+        r = np.random.RandomState(0)
+        b = tiny_cfg.batch_size
+        batch = {
+            "images": r.rand(b, tiny_cfg.image_size, tiny_cfg.image_size, 3
+                             ).astype(np.float32),
+            "context": r.randint(1, vocab_size,
+                                 (b, tiny_cfg.max_context_len)
+                                 ).astype(np.int32),
+            "posterior": r.randint(1, vocab_size,
+                                   (b, tiny_cfg.max_posterior_len)
+                                   ).astype(np.int32),
+            "target": r.randint(1, vocab_size,
+                                (b, tiny_cfg.max_q_length)).astype(np.int32),
+        }
+
+        def run(cfg, steps=3):
+            model = IQ(cfg, vocab_size)
+            state = create_train_state(cfg, model, jax.random.key(0), batch)
+            step = make_train_step(cfg, latent_mode=False)
+            for i in range(steps):
+                state, m = step(state, batch,
+                                jax.random.fold_in(jax.random.key(1), i))
+                assert np.isfinite(float(m["loss"])), m
+            return state, float(m["loss"])
+
+        for fused in (True, False):
+            base_cfg = tiny_cfg.replace(fused_adam=fused)
+            s32, l32 = run(base_cfg)
+            s16, l16 = run(base_cfg.replace(grad_dtype="bfloat16"))
+            # params stay f32 storage
+            dts = {l.dtype for l in jax.tree_util.tree_leaves(s16.params)}
+            assert dts == {jnp.dtype(jnp.float32)}
+            assert abs(l16 - l32) < 5e-2, (fused, l16, l32)
+            # per-leaf drift bounded by bf16 grad resolution over 3 steps
+            for a, c in zip(jax.tree_util.tree_leaves(s32.params),
+                            jax.tree_util.tree_leaves(s16.params)):
+                np.testing.assert_allclose(np.asarray(a, np.float32),
+                                           np.asarray(c, np.float32),
+                                           atol=2e-2)
+
+
 class TestEarlyStopping:
     def test_gated_to_post_pretraining(self):
         from blt_vqg_tpu.train.trainer import EarlyStopping
