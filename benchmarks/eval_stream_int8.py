@@ -34,14 +34,18 @@ def main():
     ap.add_argument("--model-dir", default="/root/runs/flagship_learnable")
     ap.add_argument("--val", default="/root/data_flagship_learn/packed_val")
     ap.add_argument("--batches", type=int, default=10)
-    ap.add_argument("--variants", default="xla,stream,stream_int8")
+    ap.add_argument("--variants",
+                    default="xla,stream,stream_h8,stream_int8",
+                    help="xla | stream (bf16 kernel) | stream_h8 (bf16 "
+                    "stack + int8 fused head) | stream_int8 (int8 stack + "
+                    "int8 fused head) | stream_int8_nofh")
     args = ap.parse_args()
 
     import jax
 
     from blt_vqg_tpu.core.checkpoint import CheckpointManager
     from blt_vqg_tpu.core.config import Config
-    from blt_vqg_tpu.data.dataset import example_from_row
+    from blt_vqg_tpu.data.dataset import IQDataset, example_from_row
     from blt_vqg_tpu.data.packed import PackedDataset
     from blt_vqg_tpu.models.iq import IQ
     from blt_vqg_tpu.text.vocabulary import load_vocab
@@ -53,7 +57,10 @@ def main():
     cfg = Config.load(os.path.join(args.model_dir, "args.json"))
     vocab = load_vocab(cfg.vocab)
     cat2name = cfg.cat2name if os.path.exists(cfg.cat2name) else None
-    ds = PackedDataset(args.val, vocab, cat2name)
+    # packed dir or plain hdf5 (e.g. the latent-decay probe corpora)
+    ds = (IQDataset(args.val, vocab, cat2name)
+          if args.val.endswith((".hdf5", ".h5"))
+          else PackedDataset(args.val, vocab, cat2name))
     # same eval-time resize/normalize the Trainer applies before decode
     # (train/trainer.py augment_eval) — packed images are raw pixels
     from blt_vqg_tpu.data.augment import make_augment_fn
@@ -69,11 +76,22 @@ def main():
     latent = True  # flagship run ends past num_pretraining_steps
     results = {}
     ref_tokens = None
+    overrides = {
+        "xla": {},
+        "stream": {"use_stream_decode": True},
+        "stream_h8": {"use_stream_decode": True,
+                      "stream_head_dtype": "int8"},
+        "stream_int8": {"use_stream_decode": True,
+                        "stream_weight_dtype": "int8"},
+        "stream_int8_nofh": {"use_stream_decode": True,
+                             "stream_weight_dtype": "int8",
+                             "stream_fused_head": "off"},
+    }
     for name in args.variants.split(","):
-        c = cfg.replace(
-            use_stream_decode=name.startswith("stream"),
-            stream_weight_dtype="int8" if name == "stream_int8"
-            else "bfloat16")
+        kw = {"use_stream_decode": False, "stream_weight_dtype": "bfloat16",
+              "stream_head_dtype": "auto", "stream_fused_head": "auto"}
+        kw.update(overrides[name])
+        c = cfg.replace(**kw)
         model = IQ(c, len(vocab))
         state = create_train_state(c, model, jax.random.key(0), batches[0])
         state = CheckpointManager(

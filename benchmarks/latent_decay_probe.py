@@ -107,7 +107,7 @@ def run(args):
         kl_ceiling=args.kl_ceiling, kl_floor=args.kl_floor,
         aux_ceiling=args.aux_ceiling,
         val_check_interval=args.val_every, checkpoint_every=100_000,
-        checkpoint_at_end=False, limit_val_batches=8,
+        checkpoint_at_end=args.checkpoint_at_end, limit_val_batches=8,
         latent_diagnostics=True, decode_z_source=args.decode_z_source,
         dtype="float32", seed=args.seed,
         dataset=os.path.join(root, "iq_dataset.hdf5"),
@@ -115,6 +115,9 @@ def run(args):
         vocab=os.path.join(root, "vocab_iq.json"),
         cat2name=os.path.join(root, "cat2name.json"),
         output_dir=args.out)
+    os.makedirs(cfg.output_dir, exist_ok=True)
+    cfg.save(os.path.join(cfg.output_dir, "args.json"))  # for downstream
+    # evals (benchmarks/eval_stream_int8.py reloads the run config)
     vocab = load_vocab(cfg.vocab)
     ds = IQDataset(cfg.dataset, vocab, cfg.cat2name)
     val_ds = IQDataset(cfg.val_dataset, vocab, cfg.cat2name)
@@ -179,6 +182,10 @@ def main():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--report-only", action="store_true")
+    p.add_argument("--checkpoint-at-end", action="store_true",
+                   help="save a final checkpoint (off by default: over the "
+                   "tunnel device->host is ~0.4 MB/s; the h128 probe state "
+                   "is small enough to save once for serving evals)")
     args = p.parse_args()
     if not args.report_only:
         build_corpus(args.root)

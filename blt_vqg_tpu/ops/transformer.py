@@ -431,11 +431,22 @@ class TransformerDecoder(nn.Module):
         (ops/pallas/decode_stream.py).  All the stacking below is
         loop-invariant, so XLA hoists it out of the decode scan; only the
         kernel and one cache ``dynamic_update_slice`` run per step."""
-        from blt_vqg_tpu.ops.pallas.decode_stream import (decode_stack_step,
+        from blt_vqg_tpu.ops.pallas.decode_stream import (_interpret,
+                                                          decode_stack_step,
                                                           pick_stages)
         h = self.num_heads
         d = self.hidden_dim
         dh = d // h
+        if dh % 128 != 0 and not _interpret():
+            # Mosaic rejects the bucketed-cache DMA's memref_slice when the
+            # head dim is not lane-aligned ("Slice shape along dimension 4
+            # must be aligned to tiling (128)") — caught on hardware with a
+            # head_dim-32 probe model; CPU interpret mode does not enforce
+            # tiling, so tests pass either way.
+            raise ValueError(
+                f"use_stream_decode requires head_dim % 128 == 0 on TPU "
+                f"(got hidden_dim={d}, num_heads={h} -> head_dim={dh}); "
+                f"use the XLA decode path for small-head models")
         dt = self.dtype
         hc, fc = pick_stages(h, self.pwffn_dim)
         hpc = h // hc

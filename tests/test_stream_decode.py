@@ -108,6 +108,24 @@ class TestStreamDecodeStep:
         np.testing.assert_allclose(np.asarray(y_a), np.asarray(y_b),
                                    atol=1e-4)
 
+    def test_misaligned_head_dim_rejected_on_hardware(self, dec_setup,
+                                                      monkeypatch):
+        """head_dim % 128 != 0 must raise a clear error when NOT in
+        interpret mode (Mosaic rejects the bucketed-cache DMA slice on
+        real TPUs; found on a head_dim-32 probe model)."""
+        import blt_vqg_tpu.ops.pallas.decode_stream as dsm
+        plain, stream, params, enc, b, d = dec_setup
+        monkeypatch.setattr(dsm, "_interpret", lambda: False)
+        cross_p = plain.apply(params, enc,
+                              method=TransformerDecoder.precompute_cross)
+        x_t = jnp.zeros((b, 1, d), jnp.float32)
+        with pytest.raises(ValueError, match="head_dim % 128"):
+            stream.apply(params, x_t,
+                         stream.apply(params, b, 4,
+                                      method=TransformerDecoder.init_cache),
+                         cross_p, jnp.asarray(0, jnp.int32), None,
+                         method=TransformerDecoder.step)
+
     def test_compat_pad_mask_rejected(self, dec_setup):
         plain, stream, params, enc, b, d = dec_setup
         cross_p = plain.apply(params, enc,
