@@ -102,6 +102,46 @@ def factored_question(a: int, b: int, cat: int, num_cats: int,
     return " ".join(q_words[(7919 * i + 13) % nw] for i in idx) + "?"
 
 
+def paraphrase_question(a: int, b: int, cat: int, num_cats: int, t: int,
+                        q_words) -> str:
+    """Template ``t``'s paraphrase of the factored question: a per-template
+    STYLE word prefixed to the 6-word factored body.  The style word is a
+    function of ``t`` ONLY — not of anything the model observes (image,
+    context) — so with questions drawn uniformly over ``t`` the corpus has
+    T equally-valid questions per (image, category) and the mapping
+    question→t is recoverable only from the question itself.  That is
+    exactly the signal the latent ``z`` exists to carry (reference
+    iq.py:124-127 prior-sampled decode; the info-max research claim): a
+    trained latent model should emit DIFFERENT valid paraphrases across
+    prior draws, while the deterministic pretrain decoder cannot.
+
+    Style-word indices extend the factored template's injective affine
+    hash (indices ``2*stride + t``), so style words never collide with
+    factor words."""
+    nw = len(q_words)
+    stride = NA + NB + num_cats
+    assert 2 * stride + t < nw and nw % 7919 != 0
+    style = q_words[(7919 * (2 * stride + t) + 13) % nw]
+    return style + " " + factored_question(a, b, cat, num_cats, q_words)
+
+
+def valid_questions_map(num_cats: int, num_templates: int, q_words) -> dict:
+    """combo id → the ``num_templates`` valid paraphrases of that combo
+    (all of them — the generator's ground truth).  Written to
+    ``valid_questions.json``; consumed by the info-max eval's validity
+    predicate (train/infomax.py template_validity) to score generated
+    questions as valid-for-their-combo."""
+    out = {}
+    for combo in range(NA * NB * num_cats):
+        a = combo % NA
+        b = (combo // NA) % NB
+        c = combo // (NA * NB)
+        out[str(combo)] = [
+            paraphrase_question(a, b, c, num_cats, t, q_words)
+            for t in range(num_templates)]
+    return out
+
+
 def factored_consistency_map(num_cats: int, q_words) -> dict:
     """category NAME ('catN') → the two factored-template words positions
     2/5 name for that category (the words present in EVERY question of the
@@ -174,12 +214,15 @@ def combo_split(num_cats: int, holdout_frac: float, seed: int = 7):
 def make_qa_json_learnable(root: str, split: str, num_qa: int,
                            num_images: int, q_words, answers_by_cat,
                            seed: int = 1, allowed_combos=None,
-                           template: str = "combo"):
+                           template: str = "combo", num_templates: int = 1):
     """Learnable QA: question = ``learnable_question(a, b, cat)`` where
     (a, b) come from the drawn image's index; answer deterministic of the
     same triple (so input_mode=ans is learnable too).  ``allowed_combos``
     (a set of combo ids; see combo_split) restricts draws to that subset —
-    the compositional-generalization corpus."""
+    the compositional-generalization corpus.  ``num_templates`` > 1 (with
+    the factored template) draws a uniform paraphrase template per QA —
+    the multi-valid-question corpus the info-max diversity eval needs
+    (see paraphrase_question)."""
     rng = np.random.RandomState(seed)
     cats = sorted(answers_by_cat)
     questions, annotations = [], []
@@ -195,9 +238,14 @@ def make_qa_json_learnable(root: str, split: str, num_qa: int,
             raise RuntimeError("no allowed combo drawable — holdout split "
                                "excludes every (image, category) pair?")
         ans = answers_by_cat[cats[ci]][combo % len(answers_by_cat[cats[ci]])]
-        q = (factored_question(a, b, ci, len(cats), q_words)
-             if template == "factored"
-             else learnable_question(a, b, ci, q_words))
+        if num_templates > 1:
+            assert template == "factored", "paraphrases extend the factored template"
+            q = paraphrase_question(a, b, ci, len(cats),
+                                    int(rng.randint(num_templates)), q_words)
+        elif template == "factored":
+            q = factored_question(a, b, ci, len(cats), q_words)
+        else:
+            q = learnable_question(a, b, ci, q_words)
         questions.append({"image_id": image_id, "question_id": qid,
                           "question": q})
         annotations.append({"image_id": image_id, "question_id": qid,
@@ -293,6 +341,12 @@ def main():
                    "(each word position depends on ONE factor — required "
                    "for --holdout-frac generalization corpora, else "
                    "held-out questions are OOV by construction)")
+    p.add_argument("--num-templates", type=int, default=1,
+                   help="with --template factored: draw each QA's question "
+                   "from this many paraphrase templates (a per-template "
+                   "style word prefix) — T valid questions per (image, "
+                   "category), the info-max diversity corpus; emits "
+                   "valid_questions.json for the eval's validity predicate")
     args = p.parse_args()
 
     os.makedirs(args.root, exist_ok=True)
@@ -334,6 +388,14 @@ def main():
                                             args.holdout_frac)
         qa_kw_train["allowed_combos"] = train_combos
         qa_kw_val["allowed_combos"] = heldout
+    if args.learnable and args.num_templates > 1:
+        if args.template != "factored":
+            raise SystemExit("--num-templates requires --template factored")
+        qa_kw_train["num_templates"] = args.num_templates
+        qa_kw_val["num_templates"] = args.num_templates
+        with open(os.path.join(args.root, "valid_questions.json"), "w") as f:
+            json.dump(valid_questions_map(args.num_cats, args.num_templates,
+                                          q_words), f)
     if args.learnable and args.template == "factored":
         qa_kw_train["template"] = qa_kw_val["template"] = "factored"
         with open(os.path.join(args.root, "combo_split.json"), "w") as f:

@@ -53,6 +53,12 @@ def main(argv=None):
                         "words in the question (factored corpora emit "
                         "consistency_map.json); default: reserved-id "
                         "contract word 6+cat")
+    parser.add_argument("--valid-map", type=str, default=None,
+                        help="JSON {combo id: [valid questions...]} "
+                        "(paraphrase corpora emit valid_questions.json): "
+                        "adds infomax valid_rate/distinct_valid — each "
+                        "z-draw scored as exactly-one-of the valid "
+                        "paraphrases of its image's combo")
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s %(message)s")
@@ -169,8 +175,15 @@ def main(argv=None):
             # (text/vocabulary.py), translate back for the predicate
             base = category_word_consistency(vocab)
             consistent_fn = lambda q, c: base(q, int(c) - 6)
+        valid_kw = {}
+        if args.valid_map:
+            from blt_vqg_tpu.train.infomax import template_validity
+            with open(args.valid_map) as f:
+                valid_kw = dict(valid_fn=template_validity(json.load(f)),
+                                refs=gts)  # gts aligns with z_samples rows
         div = diversity_metrics(
-            z_samples, contexts=z_contexts, consistent_fn=consistent_fn)
+            z_samples, contexts=z_contexts, consistent_fn=consistent_fn,
+            **valid_kw)
         for k, v in div.items():
             log.info("infomax %s\t%.4f", k, v)
         scores = {**scores, **{f"infomax_{k}": v for k, v in div.items()}}

@@ -47,6 +47,9 @@ def _ngrams(tokens: Sequence, n: int):
 def diversity_metrics(samples: List[List[str]],
                       contexts: Optional[Sequence] = None,
                       consistent_fn: Optional[Callable[[str, object], bool]]
+                      = None,
+                      refs: Optional[Sequence[str]] = None,
+                      valid_fn: Optional[Callable[[str, str], bool]]
                       = None) -> Dict[str, float]:
     """Diversity/consistency over ``samples[j][b]`` = draw j's question for
     image b (whitespace-tokenized strings).
@@ -58,6 +61,13 @@ def diversity_metrics(samples: List[List[str]],
       distinct_1/2    unique n-grams / total n-grams, pooled per image
       consistency     mean of consistent_fn(question, contexts[b]) over all
                       draws (only when both are supplied)
+      valid_rate      mean of valid_fn(question, refs[b]) over all draws —
+                      with template_validity, the fraction of draws that are
+                      EXACTLY one of the corpus's valid paraphrases for the
+                      image's combo (only when valid_fn+refs are supplied)
+      distinct_valid  mean_b |{distinct VALID questions among the k draws}|
+                      — the info-max headline: varied AND correct (compare
+                      against the corpus's templates-per-combo T)
     """
     k = len(samples)
     b = len(samples[0]) if k else 0
@@ -84,14 +94,14 @@ def diversity_metrics(samples: List[List[str]],
     }
 
     if k > 1:
-        hyps, refs = [], []
+        sb_hyps, sb_refs = [], []
         for qs in per_image:
             toks = [q.split() for q in qs]
             for j in range(k):
-                hyps.append(toks[j])
-                refs.append([t for jj, t in enumerate(toks) if jj != j])
+                sb_hyps.append(toks[j])
+                sb_refs.append([t for jj, t in enumerate(toks) if jj != j])
         try:
-            out["self_bleu"] = corpus_bleu(refs, hyps, 4)[3]
+            out["self_bleu"] = corpus_bleu(sb_refs, sb_hyps, 4)[3]
         except ZeroDivisionError:
             out["self_bleu"] = 0.0
 
@@ -99,6 +109,16 @@ def diversity_metrics(samples: List[List[str]],
         hits = [float(bool(consistent_fn(samples[j][i], contexts[i])))
                 for j in range(k) for i in range(b)]
         out["consistency"] = float(np.mean(hits))
+
+    if valid_fn is not None and refs is not None:
+        hits, dv = [], []
+        for i in range(b):
+            qs = [samples[j][i] for j in range(k)]
+            ok = [bool(valid_fn(q, refs[i])) for q in qs]
+            hits.extend(float(o) for o in ok)
+            dv.append(len({q for q, o in zip(qs, ok) if o}))
+        out["valid_rate"] = float(np.mean(hits))
+        out["distinct_valid"] = float(np.mean(dv))
     return out
 
 
@@ -138,4 +158,35 @@ def mapped_word_consistency(cat2words: Dict, idx2word: Optional[Dict] = None
             expect = table.get(str(int(category)))
         words = set(question.split())
         return bool(expect) and all(w in words for w in expect)
+    return fn
+
+
+def _norm_question(q: str) -> str:
+    """Punctuation/whitespace-insensitive comparison form: the corpus
+    generator writes ``...word?`` while the eval detokenizer emits
+    ``...word ?`` (the tokenizer splits punctuation)."""
+    return " ".join(q.replace("?", " ").split())
+
+
+def template_validity(valid_questions: Dict[str, Sequence[str]]
+                      ) -> Callable[[str, str], bool]:
+    """Validity predicate from a paraphrase corpus's ground truth
+    (``valid_questions.json``: combo id → its T valid paraphrases,
+    benchmarks/make_flagship_dataset.py valid_questions_map).
+
+    Returns ``valid_fn(question, ref_question)``: True iff the generated
+    question is EXACTLY one of the valid paraphrases of the combo the
+    image's REFERENCE question belongs to (paraphrases are injective per
+    combo, so the reference identifies the combo).  Together with
+    ``distinct_rate`` this is the info-max claim in one number: prior
+    z-draws produce questions that are varied AND drawn from the valid
+    set (reference iq.py:124-127)."""
+    q2combo: Dict[str, str] = {}
+    for combo, qs in valid_questions.items():
+        for q in qs:
+            q2combo[_norm_question(q)] = str(combo)
+
+    def fn(question: str, ref: str) -> bool:
+        c = q2combo.get(_norm_question(ref))
+        return c is not None and q2combo.get(_norm_question(question)) == c
     return fn

@@ -83,6 +83,55 @@ def test_factored_template_composes_from_single_factors():
         assert val_words <= seen, (combo, val_words - seen)
 
 
+def test_paraphrase_templates_distinct_and_valid_map():
+    """Paraphrase corpus (info-max diversity): each combo has T distinct
+    valid questions differing ONLY in the style prefix; style words never
+    collide with factor words; valid_questions_map is the exact ground
+    truth the generator draws from."""
+    num_cats, T = 4, 4
+    words = gen.make_word_list(500, seed=0)
+    qs = [gen.paraphrase_question(3, 7, 2, num_cats, t, words)
+          for t in range(T)]
+    assert len(set(qs)) == T
+    bodies = {q.split(" ", 1)[1] for q in qs}
+    assert bodies == {gen.factored_question(3, 7, 2, num_cats, words)}
+    styles = {q.split(" ", 1)[0] for q in qs}
+    assert len(styles) == T
+    # style words are disjoint from every factor word
+    factor_words = set()
+    for a in range(gen.NA):
+        for c in range(num_cats):
+            factor_words.update(
+                gen.factored_question(a, a % gen.NB, c, num_cats,
+                                      words)[:-1].split())
+    assert not (styles & factor_words)
+    # ground-truth map regenerates exactly these questions
+    vmap = gen.valid_questions_map(num_cats, T, words)
+    combo = 3 + gen.NA * (7 + gen.NB * 2)
+    assert vmap[str(combo)] == qs
+    assert len(vmap) == gen.NA * gen.NB * num_cats
+
+
+def test_qa_generation_draws_all_templates(tmp_path):
+    words = gen.make_word_list(610, seed=0)
+    q_words = words[:601]
+    answers_by_cat = {f"cat{i}": [words[601 + i]] for i in range(4)}
+    T = 3
+    qp, _ = gen.make_qa_json_learnable(
+        str(tmp_path), "train", 400, gen.NA * gen.NB, q_words,
+        answers_by_cat, seed=1, template="factored", num_templates=T)
+    with open(qp) as f:
+        qs = [q["question"] for q in json.load(f)["questions"]]
+    vmap = gen.valid_questions_map(4, T, q_words)
+    valid = {q: int(c) for c, lst in vmap.items() for q in lst}
+    # every drawn question is a valid paraphrase, and all T styles occur
+    styles = set()
+    for q in qs:
+        assert q in valid
+        styles.add(q.split(" ", 1)[0])
+    assert len(styles) == T
+
+
 def test_attrs_cycle_covers_all_combos():
     combos = {gen._attrs(i) for i in range(gen.NA * gen.NB)}
     assert len(combos) == gen.NA * gen.NB

@@ -204,6 +204,40 @@ class TestDiversityMetrics:
         assert any(not np.array_equal(draws[0], d) for d in draws[1:])
 
 
+class TestTemplateValidity:
+    VMAP = {"0": ["zim ka ro mi?", "zur ka ro mi?"],
+            "7": ["zim ta lu ne?", "zur ta lu ne?"]}
+
+    def test_exact_paraphrase_of_the_refs_combo(self):
+        from blt_vqg_tpu.train.infomax import template_validity
+        fn = template_validity(self.VMAP)
+        # detokenized form ("... ?" with a space) matches the generator form
+        assert fn("zur ka ro mi ?", "zim ka ro mi?")
+        assert fn("zim ka ro mi?", "zur ka ro mi ?")
+        # valid string but wrong combo
+        assert not fn("zim ta lu ne ?", "zim ka ro mi?")
+        # invalid strings / unknown ref
+        assert not fn("zim ka ro ta ?", "zim ka ro mi?")
+        assert not fn("zim ka ro mi ?", "nope nope?")
+
+    def test_valid_rate_and_distinct_valid(self):
+        from blt_vqg_tpu.train.infomax import template_validity
+        fn = template_validity(self.VMAP)
+        refs = ["zim ka ro mi?", "zur ta lu ne?"]
+        # image 0: draws = two DISTINCT valid paraphrases + 1 repeat;
+        # image 1: one valid (drawn twice) + one invalid
+        samples = [["zim ka ro mi ?", "zim ta lu ne ?"],
+                   ["zur ka ro mi ?", "zim ta lu ne ?"],
+                   ["zim ka ro mi ?", "zim broken ?"]]
+        m = diversity_metrics(samples, refs=refs, valid_fn=fn)
+        assert m["valid_rate"] == pytest.approx(5 / 6)
+        assert m["distinct_valid"] == pytest.approx((2 + 1) / 2)
+
+    def test_absent_without_inputs(self):
+        m = diversity_metrics([["a b c d", "e f g h"]])
+        assert "valid_rate" not in m and "distinct_valid" not in m
+
+
 class TestMappedWordConsistency:
     def test_all_words_required_per_category(self):
         """mapped_word_consistency: consistent iff the question contains ALL
