@@ -88,13 +88,11 @@ def _head_kernel(x_ref, lns_ref, w_ref, *rest, dtype, quantized: bool):
         m_sc[:] = jnp.full(m_sc.shape, -jnp.inf, jnp.float32)
         a_sc[:] = jnp.zeros(a_sc.shape, jnp.int32)
 
-    w = w_ref[:]
-    if quantized:
-        # int8 magnitudes ≤127 are exact in bf16; the per-column scale
-        # moves to the GEMM's f32 output (x @ (w8·s) == (x @ w8)·s)
-        w = w.astype(dtype)
+    # int8 chunks feed the GEMM directly (mixed dtype × s8 dot_generals
+    # compile natively — benchmarks/probe_int8_mxu.py); the per-column
+    # scale moves to the GEMM's f32 output (x @ (w8·s) == (x @ w8)·s)
     logits = jax.lax.dot_general(
-        xn_sc[:], w, (((1,), (0,)), ((), ())),
+        xn_sc[:], w_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)                 # [B, C] f32
     if quantized:
         logits = logits * s_ref[:]
@@ -132,8 +130,8 @@ def head_argmax(x, ln_scale, ln_bias, w, b, *, chunk: int | None = None,
     assert vp % chunk == 0, (vp, chunk)
     quantized = scales is not None
     lns = jnp.stack([ln_scale, ln_bias]).astype(jnp.float32)  # [2, D]
-    # the GEMM dtype: the weights' own dtype, except int8 streams convert
-    # to the activation dtype in VMEM (same recipe as decode_stream)
+    # the LN-output (GEMM LHS) dtype: the activation dtype for int8 streams
+    # (the int8 chunk feeds the GEMM directly), else the weights' own dtype
     dtype = x.dtype if quantized else w.dtype
 
     vm = pltpu.VMEM

@@ -120,33 +120,43 @@ def quantize_stack(w: jnp.ndarray):
 
 def _stream_kernel(*refs,
                    nh: int, hc: int, fc: int, head_dim: int, dtype,
-                   nl: int, lmax: int, bucketed: bool, quantized: bool):
-    if quantized:
-        (pos_ref, x_in_ref, lns_ref, wqkv_ref, sqkv_ref, wout_ref, sout_ref,
-         kc_ref, vc_ref, wqc_ref, sqc_ref, woc_ref, soc_ref, ckc_ref,
-         cvc_ref, smask_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
-         xout_ref, knew_ref, vnew_ref, x_sc, xn_sc, acc_sc, *bufs) = refs
-    else:
-        (pos_ref, x_in_ref, lns_ref, wqkv_ref, wout_ref,
-         kc_ref, vc_ref, wqc_ref, woc_ref, ckc_ref, cvc_ref,
-         smask_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-         xout_ref, knew_ref, vnew_ref, x_sc, xn_sc, acc_sc, *bufs) = refs
-        sqkv_ref = sout_ref = sqc_ref = soc_ref = s1_ref = s2_ref = None
+                   nl: int, lmax: int, bucketed: bool, qmask: tuple):
+    # ``qmask``: per-weight-kind int8 flags (wqkv, wout, wqc, woc, w1, w2);
+    # each quantized weight ref is immediately followed by its scale ref
+    it = iter(refs)
+    nxt = lambda: next(it)
+    opt = lambda q: next(it) if q else None
+    pos_ref, x_in_ref, lns_ref = nxt(), nxt(), nxt()
+    wqkv_ref, sqkv_ref = nxt(), opt(qmask[0])
+    wout_ref, sout_ref = nxt(), opt(qmask[1])
+    kc_ref, vc_ref = nxt(), nxt()
+    wqc_ref, sqc_ref = nxt(), opt(qmask[2])
+    woc_ref, soc_ref = nxt(), opt(qmask[3])
+    ckc_ref, cvc_ref, smask_ref = nxt(), nxt(), nxt()
+    w1_ref, s1_ref = nxt(), opt(qmask[4])
+    b1_ref = nxt()
+    w2_ref, s2_ref = nxt(), opt(qmask[5])
+    b2_ref = nxt()
+    xout_ref, knew_ref, vnew_ref = nxt(), nxt(), nxt()
+    x_sc, xn_sc, acc_sc, *bufs = list(it)
 
     def _wblk(ref, sref):
-        """The stage's weight block.  When int8-streamed this is ONLY the
-        int8→GEMM-dtype convert (int8 magnitudes ≤127 are exact in bf16);
-        the per-output-column scale moves to the GEMM's f32 OUTPUT via
-        ``_oscale`` — mathematically identical (scales are constant per
-        column, so ``x @ (w8·s) == (x @ w8)·s``) but ~16× less VPU work
-        ([B, N] elements instead of [K, N]) and one pass over the weight
-        block instead of three (convert·mul·convert).  Measured round 4:
-        the old in-weight dequant sat on the DMA→GEMM critical path and
-        made int8 streaming SLOWER than bf16 (2,312 vs 3,447 q/s)."""
-        w = ref[0, 0]
-        if sref is None:
-            return w
-        return w.astype(dtype)
+        """The stage's weight block.  When int8-streamed the raw int8 block
+        feeds the GEMM DIRECTLY — Mosaic accepts mixed bf16/f32 × s8
+        dot_generals on this chip (probed exact,
+        benchmarks/probe_int8_mxu.py) — and the per-output-column scale
+        moves to the GEMM's f32 OUTPUT via ``_oscale`` (scales are
+        constant per column, so ``x @ (w8·s) == (x @ w8)·s``).  History:
+        the round-3 in-weight dequant (convert·mul) made int8 streaming
+        SLOWER than bf16 (2,312 vs 3,447 q/s); round 4 moved the scale to
+        the output (475.8 µs); round 4c deleted the explicit convert and
+        measured NO change (477.9 µs) — the convert was never the
+        bottleneck (Mosaic lowers the mixed dot through the same upcast);
+        the int8 stack's remaining loss vs bf16 streaming is a layout/DMA
+        property, quantified in benchmarks/probe_int8_stream_floor.py
+        (METHODOLOGY round-4c)."""
+        del sref  # scale applies to the GEMM output (_oscale)
+        return ref[0, 0]
 
     def _oscale(y, sref):
         """Per-output-column dequant scale on a GEMM's f32 output."""
@@ -357,12 +367,12 @@ def decode_stack_step(x, pos, lns, wqkv, wout, cache_k, cache_v,
 
     ``weight_scales``: pass ``(sqkv, sout, sqc, soc, s1, s2)`` — the per-
     column f32 scales from ``quantize_stack`` — together with int8 weight
-    stacks to stream the weights at HALF the HBM bytes; each stage
-    dequantizes its ~0.5-1 MB block in VMEM right before the GEMM (the
-    same hoisting-proof trick as ops/pallas/int8_matmul.py, here applied
-    to the whole-stack pipeline whose weight DMA is the measured floor).
-    Biases, LayerNorms, KV caches and the precomputed cross K/V stay in
-    their original dtypes.
+    stacks to stream the weights at HALF the HBM bytes; individual entries
+    may be None (that kind streams at its own dtype — per-kind mixed
+    precision).  int8 blocks feed the GEMM directly (mixed bf16×s8
+    dot_general, benchmarks/probe_int8_mxu.py) with the per-column scale
+    applied to the f32 output.  Biases, LayerNorms, KV caches and the
+    precomputed cross K/V stay in their original dtypes.
 
     x [B, D]; caches [L, H, Lmax, B, Dh] (READ-only — pos entries come from
     the in-flight K/V); stacked weights as produced by
@@ -411,16 +421,23 @@ def decode_stack_step(x, pos, lns, wqkv, wout, cache_k, cache_v,
 
     vm = pltpu.VMEM
     spec = pl.BlockSpec
-    cache_spec = (spec(memory_space=pltpu.ANY) if bucketed_cache
+    cache_spec = (spec(memory_space=pl.ANY) if bucketed_cache
                   else spec((1, 1, lmax, b, dh), self_idx(5),
                             memory_space=vm))
-    quantized = weight_scales is not None
+    # per-weight-kind quantization: weight_scales is a 6-tuple (wqkv, wout,
+    # wqc, woc, w1, w2) whose entries may individually be None (that kind
+    # streams at its own dtype, no scale input) — the bisection/mixed-
+    # precision surface; plain None means no kind is quantized
+    scales6 = ((None,) * 6 if weight_scales is None
+               else tuple(weight_scales))
+    assert len(scales6) == 6, "weight_scales must have 6 entries"
+    qmask = tuple(s is not None for s in scales6)
 
-    def wspec(block, idx_map, scale_block=None):
-        """Weight spec; when int8-streaming, follow it with its per-column
-        scale block riding the same index map."""
+    def wspec(q, block, idx_map, scale_block):
+        """Weight spec; when this kind is int8-streamed, follow it with its
+        per-column scale block riding the same index map."""
         specs = [spec(block, idx_map, memory_space=vm)]
-        if quantized:
+        if q:
             specs.append(spec(scale_block, idx_map, memory_space=vm))
         return specs
 
@@ -428,18 +445,23 @@ def decode_stack_step(x, pos, lns, wqkv, wout, cache_k, cache_v,
         spec(memory_space=pltpu.SMEM),                            # pos
         spec((b, d), lambda l, s: (0, 0), memory_space=vm),       # x
         spec((1, 6, d), lambda l, s: (l, 0, 0), memory_space=vm),  # lns
-        *wspec((1, 1, d, 3 * dh), self_idx(4), (1, 1, 1, 3 * dh)),  # wqkv
-        *wspec((1, 1, dh, d), self_idx(4), (1, 1, 1, d)),         # wout
+        *wspec(qmask[0], (1, 1, d, 3 * dh), self_idx(4),
+               (1, 1, 1, 3 * dh)),                                # wqkv
+        *wspec(qmask[1], (1, 1, dh, d), self_idx(4), (1, 1, 1, d)),  # wout
         cache_spec,                                               # cache k
         cache_spec,                                               # cache v
-        *wspec((1, 1, d, hpc * dh), cross_idx(4), (1, 1, 1, hpc * dh)),
-        *wspec((1, 1, hpc * dh, d), cross_idx(4), (1, 1, 1, d)),  # woc
+        *wspec(qmask[2], (1, 1, d, hpc * dh), cross_idx(4),
+               (1, 1, 1, hpc * dh)),                              # wqc
+        *wspec(qmask[3], (1, 1, hpc * dh, d), cross_idx(4),
+               (1, 1, 1, d)),                                     # woc
         spec((1, 1, tc, b, hpc * dh), cross_idx(5), memory_space=vm),
         spec((1, 1, tc, b, hpc * dh), cross_idx(5), memory_space=vm),
         spec((tc, b), lambda l, s: (0, 0), memory_space=vm),      # smask
-        *wspec((1, 1, d, fchunk), ffn_idx(4), (1, 1, 1, fchunk)),  # w1
+        *wspec(qmask[4], (1, 1, d, fchunk), ffn_idx(4),
+               (1, 1, 1, fchunk)),                                # w1
         spec((1, 1, 1, fchunk), ffn_idx(4), memory_space=vm),     # b1
-        *wspec((1, 1, fchunk, d), ffn_idx(4), (1, 1, 1, d)),      # w2
+        *wspec(qmask[5], (1, 1, fchunk, d), ffn_idx(4),
+               (1, 1, 1, d)),                                     # w2
         spec((1, 1, d), lambda l, s: (l, 0, 0), memory_space=vm),  # b2
     ]
     out_specs = (
@@ -461,16 +483,17 @@ def decode_stack_step(x, pos, lns, wqkv, wout, cache_k, cache_v,
     kernel = functools.partial(_stream_kernel, nh=nh, hc=hc, fc=fc,
                                head_dim=dh, dtype=x.dtype, nl=nl,
                                lmax=lmax, bucketed=bucketed_cache,
-                               quantized=quantized)
-    if quantized:
-        sqkv, sout, sqc, soc, s1, s2 = [s.astype(jnp.float32)
-                                        for s in weight_scales]
-        args = (jnp.asarray(pos, jnp.int32).reshape(1), x, lns,
-                wqkv, sqkv, wout, sout, cache_k, cache_v, wqc, sqc,
-                woc, soc, ckc, cvc, smask, w1, s1, b1, w2, s2, b2)
-    else:
-        args = (jnp.asarray(pos, jnp.int32).reshape(1), x, lns, wqkv, wout,
-                cache_k, cache_v, wqc, woc, ckc, cvc, smask, w1, b1, w2, b2)
+                               qmask=qmask)
+
+    def wargs(w, s):
+        return (w,) if s is None else (w, s.astype(jnp.float32))
+
+    args = (jnp.asarray(pos, jnp.int32).reshape(1), x, lns,
+            *wargs(wqkv, scales6[0]), *wargs(wout, scales6[1]),
+            cache_k, cache_v,
+            *wargs(wqc, scales6[2]), *wargs(woc, scales6[3]),
+            ckc, cvc, smask,
+            *wargs(w1, scales6[4]), b1, *wargs(w2, scales6[5]), b2)
     return pl.pallas_call(
         kernel,
         grid=(nl, nstage),

@@ -257,6 +257,63 @@ class TestStreamInt8Weights:
         assert np.isfinite(y1).all() and rel < 0.05, rel
 
 
+class TestPerKindQuantization:
+    """decode_stack_step's per-kind ``weight_scales`` (entries may be None):
+    quantizing ONE kind must equal the all-bf16 kernel run with that kind's
+    weights replaced by their quantize→dequantize image (the bisection /
+    mixed-precision surface behind probe_stream_int8_micro.py)."""
+
+    KINDS = ("qkv", "out", "qc", "oc", "w1", "w2")
+
+    @pytest.mark.parametrize("kind", KINDS)
+    def test_one_kind_matches_dequantized_oracle(self, kind):
+        from blt_vqg_tpu.ops.pallas.decode_stream import (decode_stack_step,
+                                                          quantize_stack)
+        b, d, h, nl, f = 2, 32, 4, 2, 64
+        dh = d // h
+        hc, fc = pick_stages(h, f)
+        hpc, fchunk = h // hc, f // fc
+        rng = np.random.RandomState(3)
+        shapes = {"qkv": (nl, h, d, 3 * dh), "out": (nl, h, dh, d),
+                  "qc": (nl, hc, d, hpc * dh), "oc": (nl, hc, hpc * dh, d),
+                  "w1": (nl, fc, d, fchunk), "w2": (nl, fc, fchunk, d)}
+        w = {k: jnp.asarray(rng.randn(*s) * 0.2, jnp.float32)
+             for k, s in shapes.items()}
+        lmax, tc, pos = 6, 3, 2
+        x = jnp.asarray(rng.randn(b, d) * 0.5, jnp.float32)
+        lns = jnp.asarray(
+            np.stack([np.ones((nl, d)) if i % 2 == 0 else np.zeros((nl, d))
+                      for i in range(6)], axis=1), jnp.float32)
+        ck = jnp.asarray(rng.randn(nl, h, lmax, b, dh) * 0.3, jnp.float32)
+        cv = jnp.asarray(rng.randn(nl, h, lmax, b, dh) * 0.3, jnp.float32)
+        ckc = jnp.asarray(rng.randn(nl, hc, tc, b, hpc * dh) * 0.3,
+                          jnp.float32)
+        cvc = jnp.asarray(rng.randn(nl, hc, tc, b, hpc * dh) * 0.3,
+                          jnp.float32)
+        smask = jnp.zeros((tc, b), jnp.int32)
+        b1 = jnp.zeros((nl, fc, 1, fchunk), jnp.float32)
+        b2 = jnp.zeros((nl, 1, d), jnp.float32)
+
+        def run(weights, weight_scales):
+            return decode_stack_step(
+                x, pos, lns, weights["qkv"], weights["out"], ck, cv,
+                weights["qc"], weights["oc"], ckc, cvc, smask,
+                weights["w1"], b1, weights["w2"], b2,
+                num_heads=h, cross_stages=hc, ffn_stages=fc,
+                bucketed_cache=False, weight_scales=weight_scales)
+
+        w8, s = quantize_stack(w[kind])
+        ki = self.KINDS.index(kind)
+        scales = tuple(s if i == ki else None for i in range(6))
+        got = run({**w, kind: w8}, scales)
+
+        qdq = (w8.astype(jnp.float32) * s).astype(jnp.float32)
+        want = run({**w, kind: qdq}, None)
+        for g, wv in zip(got, want):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(wv),
+                                       atol=1e-5)
+
+
 class TestStreamGreedyDecode:
     def test_iq_decode_greedy_and_beam_match(self, vocab_size):
         """Full-model decode: use_stream_decode must emit the same token
