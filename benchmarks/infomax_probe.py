@@ -112,7 +112,7 @@ def make_cfg(args):
     return Config(
         emb_dim=64, hidden_dim=args.hidden, latent_dim=args.hidden,
         pwffn_dim=2 * args.hidden, num_layers=2, num_heads=4,
-        batch_size=32, image_size=48, input_mode="cat",
+        batch_size=args.batch, image_size=48, input_mode="cat",
         num_pretraining_steps=args.pretrain_steps,
         total_training_steps=args.pretrain_steps + args.latent_steps,
         full_kl_step=args.full_kl_step,
@@ -240,6 +240,7 @@ def main():
     p.add_argument("--root", default="/root/data_infomax_probe")
     p.add_argument("--out", default="/root/runs/infomax_probe")
     p.add_argument("--hidden", type=int, default=128)
+    p.add_argument("--batch", type=int, default=32)
     p.add_argument("--pretrain-steps", type=int, default=1500)
     p.add_argument("--latent-steps", type=int, default=3000)
     p.add_argument("--full-kl-step", type=int, default=500)
