@@ -34,7 +34,10 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_compile_cache")
 import numpy as np
 
 B, D, H, L, F = 64, 1024, 8, 6, 2048
-LMAX, TC, POS = 51, 24, 25
+# TC=4 matches the flagship input_mode="cat" cross length (image + 3
+# context tokens); larger TC over-sizes the resident cross-K/V blocks and
+# OOMs the 16M scoped VMEM that the real kernel fits in
+LMAX, TC, POS = 51, 4, 25
 KINDS = ("qkv", "out", "qc", "oc", "w1", "w2")
 
 
