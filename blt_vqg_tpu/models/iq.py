@@ -249,6 +249,11 @@ class IQ(nn.Module):
 
         seed_id = PAD if cfg.compat_pad_seed else START
         NEG = jnp.asarray(-1e9, jnp.float32)
+        # loop-invariant streaming bundle, held outside the scan (see
+        # decode_greedy)
+        stream = (self.decoder.stream_prep(cross_kvs, src_mask_t,
+                                           b * k_beams)
+                  if cfg.use_stream_decode else None)
 
         def body(carry, pos):
             tokens, scores, finished, caches = carry
@@ -256,7 +261,7 @@ class IQ(nn.Module):
             x_t = self.embed_tokens(tokens.reshape(b * k_beams)[:, None])
             x_t = jnp.where(pos == 0, x_t + inject_t[:, None, :], x_t)
             y_t, new_caches = self.decoder.step(
-                x_t, caches, cross_kvs, pos, src_mask_t)
+                x_t, caches, cross_kvs, pos, src_mask_t, stream=stream)
             logits = self.output_proj(y_t[:, 0].astype(jnp.float32))
             logp = jax.nn.log_softmax(logits, axis=-1)  # [B*K, V]
             v = logp.shape[-1]
@@ -454,6 +459,13 @@ class IQ(nn.Module):
                     head_w.astype(jnp.dtype(cfg.dtype)), head_b, chunk)
             lnp = self.decoder.final_ln.variables["params"]
 
+        # streaming decode: build the loop-invariant weight/cross bundle
+        # ONCE, outside the scan body — XLA's LICM does not hoist the int8
+        # quantize chain out of the loop (measured +~120 µs/step without
+        # this; METHODOLOGY round-4c)
+        stream = (self.decoder.stream_prep(cross_kvs, src_mask, b)
+                  if cfg.use_stream_decode else None)
+
         def one_step(token, caches, key_pad, pos):
             x_t = self.embed_tokens(token[:, None])
             # position-0 injection of image(+z) features, matching the
@@ -464,7 +476,8 @@ class IQ(nn.Module):
                 key_pad = key_pad.at[:, pos].set(token == PAD)
             y_t, caches = self.decoder.step(x_t, caches, cross_kvs, pos,
                                             src_mask, key_pad,
-                                            skip_final_ln=use_fused_head)
+                                            skip_final_ln=use_fused_head,
+                                            stream=stream)
             if use_fused_head:
                 next_token = head_argmax(
                     y_t[:, 0], lnp["scale"], lnp["bias"], head_w, head_b,

@@ -395,14 +395,20 @@ class TransformerDecoder(nn.Module):
         return [(z, z) for _ in range(self.num_layers)]
 
     def step(self, x_t, caches, cross_kvs, pos, src_mask=None,
-             key_pad=None, skip_final_ln: bool = False):
+             key_pad=None, skip_final_ln: bool = False, stream=None):
         """One decode step: x_t [B,1,D] at position ``pos``.
 
         ``key_pad`` [B, L] (optional) masks pad-*token* keys in decode
         self-attention like the reference does (see DecoderLayer.step).
         ``skip_final_ln=True`` returns the raw stack output (the fused
         decode head, ops/pallas/decode_head.py, applies the final LN
-        itself).  Returns (output [B,1,D], updated caches).
+        itself).  ``stream`` (streaming path only) is the loop-invariant
+        tensor bundle from :meth:`stream_prep`; decode loops compute it
+        ONCE outside their ``lax.scan`` — left None, it is rebuilt here
+        each call, which inside a scan body leaves the weight
+        stacking/quantization to XLA's loop-invariant code motion (measured
+        NOT to hoist the int8 quantize: +~120 µs/step, METHODOLOGY
+        round-4c).  Returns (output [B,1,D], updated caches).
         """
         sig = jnp.asarray(
             timing_signal(self.max_decode_len, self.hidden_dim, dtype=x_t.dtype))
@@ -412,7 +418,9 @@ class TransformerDecoder(nn.Module):
                 raise ValueError(
                     "compat_decode_pad_mask is not supported on the "
                     "streaming decode path (use_stream_decode)")
-            return self._step_stream(x_t, caches, cross_kvs, pos, src_mask,
+            if stream is None:
+                stream = self.stream_prep(cross_kvs, src_mask, x_t.shape[0])
+            return self._step_stream(x_t, caches, stream, pos,
                                      skip_final_ln)
         new_caches = []
         for layer, (cache_k, cache_v), (ck, cv) in zip(
@@ -424,16 +432,19 @@ class TransformerDecoder(nn.Module):
             return x_t, new_caches
         return self.final_ln(x_t), new_caches
 
-    def _step_stream(self, x_t, caches, cross_kvs, pos, src_mask,
-                     skip_final_ln: bool = False):
-        """Whole-stack streaming decode step: one Pallas kernel over
-        grid (layers, stages) with weights/caches pipelined HBM→VMEM
-        (ops/pallas/decode_stream.py).  All the stacking below is
-        loop-invariant, so XLA hoists it out of the decode scan; only the
-        kernel and one cache ``dynamic_update_slice`` run per step."""
+    def stream_prep(self, cross_kvs, src_mask, batch):
+        """Loop-invariant tensors of the streaming decode step, computed
+        ONCE per decode call: per-layer weight stacks (optionally int8-
+        quantized), LayerNorm/bias stacks, regrouped cross K/V and the
+        source mask.  Decode loops hold the result OUTSIDE their
+        ``lax.scan``/``while_loop`` body so none of this re-runs per token
+        — XLA's loop-invariant code motion hoists the plain converts but
+        measured NOT the int8 quantize chain (abs-max reduce → scale →
+        round), which cost the int8 stream path ~120 µs/step when left
+        inside the scan (METHODOLOGY round-4c)."""
         from blt_vqg_tpu.ops.pallas.decode_stream import (_interpret,
-                                                          decode_stack_step,
-                                                          pick_stages)
+                                                          pick_stages,
+                                                          quantize_stack)
         h = self.num_heads
         d = self.hidden_dim
         dh = d // h
@@ -512,33 +523,49 @@ class TransformerDecoder(nn.Module):
                 nl, tc, b, hc, hpc * dh)
             return out.transpose(0, 3, 1, 2, 4).astype(dt)
 
-        b = x_t.shape[0]
         tc = cross_kvs[0][0].shape[1]
-        smask = (jnp.broadcast_to(src_mask[:, 0, 0, :], (b, tc)).T
+        smask = (jnp.broadcast_to(src_mask[:, 0, 0, :], (batch, tc)).T
                  if src_mask is not None
-                 else jnp.zeros((tc, b), bool)).astype(jnp.int32)
+                 else jnp.zeros((tc, batch), bool)).astype(jnp.int32)
 
-        k_all, v_all = caches[0]
         stacks = [per_layer(wqkv), per_layer(wout), per_layer(wqc),
                   per_layer(woc), per_layer(w1), per_layer(w2)]
         scales = None
         if self.stream_weight_dtype == "int8":
-            # int8 weight streaming: quantize the (loop-invariant, hoisted)
-            # stacks once; the kernel dequantizes per ~0.5-1 MB block in
-            # VMEM, so the decode scan truly streams half the weight bytes
-            from blt_vqg_tpu.ops.pallas.decode_stream import quantize_stack
+            # int8 weight streaming: quantize the stacks once HERE, outside
+            # the caller's decode loop; the kernel streams half the weight
+            # bytes and feeds the raw int8 blocks to the MXU
             stacks, scales = map(list, zip(*[quantize_stack(w)
                                              for w in stacks]))
-        s_wqkv, s_wout, s_wqc, s_woc, s_w1, s_w2 = stacks
+        return {
+            "lns": per_layer(lns), "stacks": tuple(stacks),
+            "scales": None if scales is None else tuple(scales),
+            "ckc": ckv([ck for ck, _ in cross_kvs]),
+            "cvc": ckv([cv for _, cv in cross_kvs]),
+            "smask": smask, "b1": per_layer(b1), "b2": per_layer(b2),
+        }
+
+    def _step_stream(self, x_t, caches, prep, pos,
+                     skip_final_ln: bool = False):
+        """Whole-stack streaming decode step: one Pallas kernel over
+        grid (layers, stages) with weights/caches pipelined HBM→VMEM
+        (ops/pallas/decode_stream.py).  ``prep`` is the loop-invariant
+        bundle from :meth:`stream_prep`; per step only the kernel and one
+        cache ``dynamic_update_slice`` run."""
+        from blt_vqg_tpu.ops.pallas.decode_stream import (decode_stack_step,
+                                                          pick_stages)
+        h = self.num_heads
+        hc, fc = pick_stages(h, self.pwffn_dim)
+        k_all, v_all = caches[0]
+        s_wqkv, s_wout, s_wqc, s_woc, s_w1, s_w2 = prep["stacks"]
         x_out, k_new, v_new = decode_stack_step(
-            x_t[:, 0], pos, per_layer(lns), s_wqkv,
+            x_t[:, 0], pos, prep["lns"], s_wqkv,
             s_wout, k_all, v_all, s_wqc, s_woc,
-            ckv([ck for ck, _ in cross_kvs]),
-            ckv([cv for _, cv in cross_kvs]),
-            smask, s_w1, per_layer(b1), s_w2,
-            per_layer(b2), num_heads=h, cross_stages=hc, ffn_stages=fc,
+            prep["ckc"], prep["cvc"],
+            prep["smask"], s_w1, prep["b1"], s_w2,
+            prep["b2"], num_heads=h, cross_stages=hc, ffn_stages=fc,
             bucketed_cache=self.stream_bucketed_cache,
-            weight_scales=None if scales is None else tuple(scales))
+            weight_scales=prep["scales"])
         k_all = jax.lax.dynamic_update_slice(
             k_all, k_new[:, :, None], (0, 0, pos, 0, 0))
         v_all = jax.lax.dynamic_update_slice(
