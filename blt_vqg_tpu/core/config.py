@@ -217,6 +217,22 @@ class Config:
                                       # make_async_remote_copy hops overlap
                                       # block compute over ICI —
                                       # ops/pallas/ring_attention.py)
+    moe_num_experts: int = 0          # >1: replace FFNs with a mixture of
+                                      # experts (ops/moe.py) — static-shape
+                                      # einsum dispatch, Switch/GShard
+                                      # routing; expert-stacked kernels
+                                      # shard over an "expert" mesh axis
+                                      # (expert parallelism — capability
+                                      # extension, the reference has no MoE)
+    moe_top_k: int = 2                # experts per token (1 = Switch)
+    moe_capacity_factor: float = 1.25 # per-expert slots =
+                                      # ceil(cf·k·tokens/E); overflow drops
+    moe_every: int = 1                # MoE on every Nth layer (2 = GShard
+                                      # dense/MoE alternation)
+    moe_aux_weight: float = 0.01      # load-balance loss weight
+    moe_router_z_weight: float = 1e-3 # router z-loss weight (logit scale
+                                      # control, ST-MoE convention)
+    moe_router_noise: float = 0.0     # train-time routing jitter stddev
     checkpoint_backend: str = "npz"   # "npz" (flat archive, default) |
                                       # "orbax" (StandardCheckpointHandler
                                       # store per step — JAX-ecosystem
@@ -392,6 +408,23 @@ def add_config_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     parser.add_argument("--sequence_parallel", action="store_true")
     parser.add_argument("--ring_attention_impl", type=str, default="xla",
                         choices=("xla", "pallas"))
+    parser.add_argument("--moe_num_experts", type=int,
+                        default=defaults.moe_num_experts,
+                        help=">1: mixture-of-experts FFNs (ops/moe.py); "
+                        "expert kernels shard over an 'expert' mesh axis")
+    parser.add_argument("--moe_top_k", type=int, default=defaults.moe_top_k)
+    parser.add_argument("--moe_capacity_factor", type=float,
+                        default=defaults.moe_capacity_factor)
+    parser.add_argument("--moe_every", type=int, default=defaults.moe_every)
+    parser.add_argument("--moe_aux_weight", type=float,
+                        default=defaults.moe_aux_weight)
+    parser.add_argument("--moe_router_z_weight", type=float,
+                        default=defaults.moe_router_z_weight)
+    parser.add_argument("--moe_router_noise", type=float,
+                        default=defaults.moe_router_noise)
+    parser.add_argument("--num_expert_shards", type=int, default=1,
+                        help="size of the 'expert' mesh axis (with "
+                        "--moe_num_experts)")
     parser.add_argument("--checkpoint_backend", type=str, default="npz",
                         choices=("npz", "orbax"))
     parser.add_argument("--use_pallas_decode", action="store_true")
@@ -470,9 +503,13 @@ def config_from_args(args: argparse.Namespace) -> Config:
     d = getattr(args, "num_data_shards", 1)
     m = getattr(args, "num_model_shards", 1)
     s = getattr(args, "num_seq_shards", 1)
+    e = getattr(args, "num_expert_shards", 1)
     if getattr(args, "sequence_parallel", False) and s > 1:
         kw["mesh_shape"] = (d, m, s)
         kw["mesh_axis_names"] = ("data", "model", "seq")
+    elif getattr(args, "moe_num_experts", 0) > 1 and e > 1:
+        kw["mesh_shape"] = (d, m, e)
+        kw["mesh_axis_names"] = ("data", "model", "expert")
     else:
         kw["mesh_shape"] = (d, m)
     return Config(**kw)

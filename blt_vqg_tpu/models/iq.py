@@ -68,7 +68,10 @@ class IQ(nn.Module):
             use_pallas=cfg.use_pallas_attention, remat=cfg.remat,
             compat_trailing_relu=cfg.compat_trailing_relu,
             ring_mesh=(self.mesh if cfg.sequence_parallel else None),
-            ring_impl=cfg.ring_attention_impl)
+            ring_impl=cfg.ring_attention_impl,
+            moe_num_experts=cfg.moe_num_experts, moe_top_k=cfg.moe_top_k,
+            moe_capacity_factor=cfg.moe_capacity_factor,
+            moe_router_noise=cfg.moe_router_noise, moe_every=cfg.moe_every)
         # context encoder ("encoder") + posterior encoder ("r_encoder"),
         # reference encoder_transformer.py:12-19
         self.context_encoder = TransformerEncoder(**enc_kw, name="context_encoder")

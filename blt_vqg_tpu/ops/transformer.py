@@ -50,6 +50,24 @@ class PositionwiseFeedForward(nn.Module):
         return h
 
 
+def _make_ffn(layer) -> nn.Module:
+    """Dense FFN, or a mixture-of-experts FFN when the layer carries
+    ``moe_num_experts > 1`` (ops/moe.py — expert-parallel capability
+    extension; the reference has no MoE, SURVEY.md §2.4)."""
+    if getattr(layer, "moe_num_experts", 0) > 1:
+        from blt_vqg_tpu.ops.moe import MoEFeedForward
+        return MoEFeedForward(
+            layer.hidden_dim, layer.pwffn_dim, layer.moe_num_experts,
+            top_k=layer.moe_top_k, capacity_factor=layer.moe_capacity_factor,
+            dropout_rate=layer.relu_dropout, dtype=layer.dtype,
+            activation=getattr(layer, "activation", "relu"),
+            router_noise=layer.moe_router_noise, name="ffn")
+    return PositionwiseFeedForward(
+        layer.hidden_dim, layer.pwffn_dim, layer.relu_dropout,
+        dtype=layer.dtype, activation=getattr(layer, "activation", "relu"),
+        compat_trailing_relu=layer.compat_trailing_relu, name="ffn")
+
+
 class EncoderLayer(nn.Module):
     hidden_dim: int
     num_heads: int
@@ -63,6 +81,10 @@ class EncoderLayer(nn.Module):
     compat_trailing_relu: bool = False
     ring_mesh: object = None  # sequence-parallel mesh (ops/attention.py)
     ring_impl: str = "xla"    # ring inner loop: "xla" ppermute | "pallas" RDMA
+    moe_num_experts: int = 0  # >1: FFN is a mixture of experts (ops/moe.py)
+    moe_top_k: int = 2
+    moe_capacity_factor: float = 1.25
+    moe_router_noise: float = 0.0
 
     def setup(self):
         self.ln_mha = nn.LayerNorm(dtype=self.dtype, name="ln_mha")
@@ -72,10 +94,7 @@ class EncoderLayer(nn.Module):
             ring_mesh=self.ring_mesh, ring_impl=self.ring_impl,
             name="mha")
         self.ln_ffn = nn.LayerNorm(dtype=self.dtype, name="ln_ffn")
-        self.ffn = PositionwiseFeedForward(
-            self.hidden_dim, self.pwffn_dim, self.relu_dropout,
-            dtype=self.dtype, activation=self.activation,
-            compat_trailing_relu=self.compat_trailing_relu, name="ffn")
+        self.ffn = _make_ffn(self)
         self.dropout = nn.Dropout(self.layer_dropout)
 
     def __call__(self, x, mask=None, deterministic: bool = True):
@@ -105,6 +124,18 @@ class TransformerEncoder(nn.Module):
     compat_trailing_relu: bool = False
     ring_mesh: object = None
     ring_impl: str = "xla"
+    moe_num_experts: int = 0  # >1: MoE FFNs (every moe_every-th layer)
+    moe_top_k: int = 2
+    moe_capacity_factor: float = 1.25
+    moe_router_noise: float = 0.0
+    moe_every: int = 1        # 1 = every layer; 2 = alternate (GShard style)
+
+    def _layer_experts(self, i: int) -> int:
+        """Experts for layer i: MoE on every ``moe_every``-th layer (the
+        LAST of each group, so moe_every=2 gives dense/MoE alternation)."""
+        on = self.moe_num_experts > 1 and (i % self.moe_every
+                                           == self.moe_every - 1)
+        return self.moe_num_experts if on else 0
 
     def setup(self):
         # deterministic (argnum 3: self, x, mask, deterministic) must stay a
@@ -117,6 +148,10 @@ class TransformerEncoder(nn.Module):
                       self.layer_dropout, self.dtype, self.use_pallas,
                       compat_trailing_relu=self.compat_trailing_relu,
                       ring_mesh=self.ring_mesh, ring_impl=self.ring_impl,
+                      moe_num_experts=self._layer_experts(i),
+                      moe_top_k=self.moe_top_k,
+                      moe_capacity_factor=self.moe_capacity_factor,
+                      moe_router_noise=self.moe_router_noise,
                       name=f"layer_{i}")
             for i in range(self.num_layers)
         ]
@@ -145,8 +180,17 @@ class DecoderLayer(nn.Module):
     ring_mesh: object = None  # sequence-parallel self-attention only
     ring_impl: str = "xla"
     use_pallas_decode: bool = False  # fused 2-kernel decode step
+    moe_num_experts: int = 0  # >1: FFN is a mixture of experts (ops/moe.py)
+    moe_top_k: int = 2
+    moe_capacity_factor: float = 1.25
+    moe_router_noise: float = 0.0
 
     def setup(self):
+        if self.moe_num_experts > 1 and self.use_pallas_decode:
+            raise ValueError(
+                "MoE FFNs are not supported on the fused Pallas decode "
+                "path (use_pallas_decode reads dense ffn_in/ffn_out "
+                "kernels); decode MoE models on the XLA path")
         self.ln_self = nn.LayerNorm(dtype=self.dtype, name="ln_self")
         self.self_attn = MultiHeadAttention(
             self.hidden_dim, self.num_heads, self.attention_dropout,
@@ -158,10 +202,7 @@ class DecoderLayer(nn.Module):
             self.hidden_dim, self.num_heads, self.attention_dropout,
             dtype=self.dtype, use_pallas=self.use_pallas, name="cross_attn")
         self.ln_ffn = nn.LayerNorm(dtype=self.dtype, name="ln_ffn")
-        self.ffn = PositionwiseFeedForward(
-            self.hidden_dim, self.pwffn_dim, self.relu_dropout,
-            dtype=self.dtype,
-            compat_trailing_relu=self.compat_trailing_relu, name="ffn")
+        self.ffn = _make_ffn(self)
         self.dropout = nn.Dropout(self.layer_dropout)
 
     def __call__(self, x, enc_out, src_mask=None, trg_mask=None,
@@ -283,8 +324,31 @@ class TransformerDecoder(nn.Module):
     pipeline_stages: int = 1
     pipeline_microbatches: int = 2
     pipeline_mesh: Any = None
+    moe_num_experts: int = 0  # >1: MoE FFNs (every moe_every-th layer)
+    moe_top_k: int = 2
+    moe_capacity_factor: float = 1.25
+    moe_router_noise: float = 0.0
+    moe_every: int = 1
+
+    def _layer_experts(self, i: int) -> int:
+        on = self.moe_num_experts > 1 and (i % self.moe_every
+                                           == self.moe_every - 1)
+        return self.moe_num_experts if on else 0
 
     def setup(self):
+        if self.moe_num_experts > 1:
+            if self.use_stream_decode:
+                raise ValueError(
+                    "MoE FFNs are not supported on the streaming decode "
+                    "path (use_stream_decode streams dense FFN stacks); "
+                    "decode MoE models on the XLA path")
+            if self.pipeline_stages > 1:
+                raise ValueError(
+                    "MoE + GPipe is not supported: the pipelined stage "
+                    "apply (parallel/pipeline.py) does not thread the "
+                    "'moe' sow collection, so the load-balance loss would "
+                    "be silently dropped — shard experts over an 'expert' "
+                    "mesh axis instead (EP replaces PP's memory win here)")
         # deterministic is argnum 5 (self, x, enc_out, src_mask, trg_mask,
         # deterministic) — static for the same Dropout trace-time branch
         layer_cls = (nn.remat(DecoderLayer, static_argnums=(5,))
@@ -296,6 +360,10 @@ class TransformerDecoder(nn.Module):
                       compat_trailing_relu=self.compat_trailing_relu,
                       ring_mesh=self.ring_mesh, ring_impl=self.ring_impl,
                       use_pallas_decode=self.use_pallas_decode,
+                      moe_num_experts=self._layer_experts(i),
+                      moe_top_k=self.moe_top_k,
+                      moe_capacity_factor=self.moe_capacity_factor,
+                      moe_router_noise=self.moe_router_noise,
                       name=f"layer_{i}")
             for i in range(self.num_layers)
         ]

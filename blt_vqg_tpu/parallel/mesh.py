@@ -23,7 +23,12 @@ Strategy coverage (SURVEY.md §2.4):
   (ops/ring_attention.py) over a ``seq`` mesh axis, composing with DP/TP
   (batch and head dims keep their shardings across the shard_map boundary).
   Not needed for reference parity (sequences ≤ 23 tokens).
-- EP: no MoE in this model family.
+- EP: first-class capability for MoE variants — ``cfg.moe_num_experts > 1``
+  replaces FFNs with a mixture of experts (ops/moe.py, static-shape einsum
+  dispatch) whose expert-stacked kernels shard over an ``expert`` mesh axis
+  (parallel/sharding.py rules); GSPMD emits the token all-to-alls.  The
+  reference model family has no MoE — this exists for scaled variants and
+  is certified in the 8-device dryrun (EP loss == single-device oracle).
 """
 
 from __future__ import annotations

@@ -30,11 +30,24 @@ _RULES: Tuple[Tuple[str, P], ...] = (
     # positionwise FFN: column-parallel in, row-parallel out
     (r"ffn_in/kernel$",                 P(None, "model")),
     (r"ffn_out/kernel$",                P("model", None)),
+    # MoE expert-stacked kernels (ops/moe.py): experts over 'expert',
+    # per-expert FFN width over 'model' (EP × TP compose); the router and
+    # the [E, ...] biases stay with the experts / replicated
+    (r"ffn/expert_in$",                 P("expert", None, "model")),
+    (r"ffn/expert_out$",                P("expert", "model", None)),
+    (r"ffn/expert_(in|out)_bias$",      P("expert", None)),
     # output vocab projection: split vocab over 'model'
     (r"(output_proj|z_classifier)/kernel$", P(None, "model")),
     # everything else replicated
     (r".*", P()),
 )
+
+
+def _mesh_filtered(spec: P, mesh: Mesh) -> P:
+    """Drops axis names the mesh doesn't carry (e.g. 'expert' specs on a
+    plain DP×TP mesh) — the dimension falls back to replicated."""
+    axes = set(mesh.shape)
+    return P(*[(a if a in axes else None) for a in spec])
 
 
 def _path_str(path) -> str:
@@ -73,7 +86,7 @@ def param_sharding_rules(params: Any, mesh: Mesh,
     data_size = dict(mesh.shape).get("data", 1)
 
     def leaf(path, x):
-        spec = spec_for_param(_path_str(path), x.ndim)
+        spec = _mesh_filtered(spec_for_param(_path_str(path), x.ndim), mesh)
         if fsdp and x.ndim >= 1 and data_size > 1:
             spec = _zero1_spec(spec, x.shape, data_size)
         return NamedSharding(mesh, spec)
@@ -153,7 +166,7 @@ def opt_state_sharding_rules(opt_state: Any, mesh: Mesh) -> Any:
     def leaf(path, x):
         if getattr(x, "ndim", 0) == 0 or data_size == 1:
             return NamedSharding(mesh, P())
-        base = spec_for_param(_path_str(path), x.ndim)
+        base = _mesh_filtered(spec_for_param(_path_str(path), x.ndim), mesh)
         return NamedSharding(mesh, _zero1_spec(base, x.shape, data_size))
 
     return jax.tree_util.tree_map_with_path(leaf, opt_state)

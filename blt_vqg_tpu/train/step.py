@@ -44,25 +44,54 @@ def _loss_fn(params, state: TrainState, batch: Dict[str, jnp.ndarray],
         params)
     rngs = {"latent": jax.random.fold_in(rng, 0),
             "dropout": jax.random.fold_in(rng, 1)}
+    # MoE layers sow their load-balance/router-z losses into the "moe"
+    # collection (ops/moe.py); making it mutable here is what records them
+    mutable = (["batch_stats", "moe"] if cfg.moe_num_experts > 1
+               else ["batch_stats"])
     (logits, z_logit, kld, image_recon), updates = state.apply_fn(
         {"params": params, "batch_stats": state.batch_stats},
         batch["images"], batch["context"], batch["posterior"], batch["target"],
         latent_mode=latent_mode, train=True,
-        rngs=rngs, mutable=["batch_stats"])
+        rngs=rngs, mutable=mutable)
     out = compute_losses(
         logits, batch["target"], image_recon, kld, z_logit,
         kliter=state.kliter, latent_mode=latent_mode,
         kl_ceiling=cfg.kl_ceiling, aux_ceiling=cfg.aux_ceiling,
         image_recon_lambda=cfg.image_recon_lambda,
         full_kl_step=cfg.full_kl_step, kl_floor=cfg.kl_floor)
-    return out.loss, (out, updates["batch_stats"])
+    loss = out.loss
+    extra = {}
+    if cfg.moe_num_experts > 1:
+        balance, router_z = _collect_moe_losses(updates.get("moe", {}))
+        loss = (loss + cfg.moe_aux_weight * balance
+                + cfg.moe_router_z_weight * router_z)
+        extra = {"moe_balance": balance, "moe_router_z": router_z,
+                 "loss": loss}
+    return loss, (out, updates["batch_stats"], extra)
+
+
+def _collect_moe_losses(moe_tree) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Means of the sown per-MoE-layer balance / router-z losses (means,
+    not sums, so the weights don't scale with depth)."""
+    balances, zs = [], []
+
+    def walk(path, leaf):
+        # sow wraps values in tuples, so the metric name is a dict key
+        # somewhere on the path, not necessarily last
+        names = {str(getattr(p, "key", "")) for p in path}
+        (balances if "balance" in names else zs).append(
+            jnp.asarray(leaf, jnp.float32))
+
+    jax.tree_util.tree_map_with_path(walk, moe_tree)
+    mean = lambda xs: (sum(xs) / len(xs) if xs else jnp.zeros((), jnp.float32))
+    return mean(balances), mean(zs)
 
 
 def _step_core(state: TrainState, batch: Dict[str, jnp.ndarray],
                rng: jax.Array, cfg: Config, latent_mode: bool
                ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
     grad_fn = jax.value_and_grad(_loss_fn, has_aux=True)
-    (_, (out, new_stats)), grads = grad_fn(
+    (_, (out, new_stats, extra)), grads = grad_fn(
         state.params, state, batch, rng, cfg, latent_mode)
     if cfg.grad_dtype != "float32":
         # bf16 grad storage (diet knob): the cast fuses into each dW GEMM's
@@ -75,6 +104,7 @@ def _step_core(state: TrainState, batch: Dict[str, jnp.ndarray],
         grads, new_batch_stats=new_stats,
         kliter_inc=1 if latent_mode else 0)
     metrics = dict(out.as_dict())
+    metrics.update(extra)  # MoE aux terms + the aux-inclusive total loss
     if cfg.log_grad_norm:
         # free in fused mode: the clip already computed the global norm
         metrics["grad_norm"] = gnorm
