@@ -59,6 +59,13 @@ def main(argv=None):
                         "adds infomax valid_rate/distinct_valid — each "
                         "z-draw scored as exactly-one-of the valid "
                         "paraphrases of its image's combo")
+    parser.add_argument("--decode-sampling", action="store_true",
+                        help="decode by temperature/top-k/top-p sampling "
+                        "instead of greedy (ops/sampling.py); combines "
+                        "with --num-z-samples for token-level diversity")
+    parser.add_argument("--decode-temperature", type=float, default=None)
+    parser.add_argument("--decode-top-k", type=int, default=None)
+    parser.add_argument("--decode-top-p", type=float, default=None)
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s %(message)s")
@@ -71,6 +78,14 @@ def main(argv=None):
     from blt_vqg_tpu.text.vocabulary import load_vocab
 
     cfg = Config.load(os.path.join(args.model_dir, "args.json"))
+    if args.decode_sampling:
+        # sampling overrides before the Trainer builds its decode steps
+        over = {"decode_sampling": True}
+        for name in ("decode_temperature", "decode_top_k", "decode_top_p"):
+            v = getattr(args, name)
+            if v is not None:
+                over[name] = v
+        cfg = cfg.replace(**over)
     vocab = load_vocab(cfg.vocab)
     dataset = args.dataset or cfg.val_dataset
     cat2name = cfg.cat2name if os.path.exists(cfg.cat2name) else None

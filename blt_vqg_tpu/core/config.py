@@ -144,6 +144,14 @@ class Config:
                                       # (deterministic; immune to the
                                       # prior-variance decay,
                                       # benchmarks/latent_decay.md)
+    decode_sampling: bool = False     # decode by categorical sampling from
+                                      # temperature/top-k/top-p-filtered
+                                      # logits (ops/sampling.py) instead of
+                                      # argmax — serving/diversity knob (the
+                                      # reference is greedy-only)
+    decode_temperature: float = 1.0
+    decode_top_k: int = 0             # 0 disables the top-k filter
+    decode_top_p: float = 1.0         # 1.0 disables the nucleus filter
     latent_diagnostics: bool = False  # validation also reports z stats
                                       # (per-dim KL, prior spread) and the
                                       # prior-vs-posterior decode BLEU gap
@@ -485,6 +493,15 @@ def add_config_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     parser.add_argument("--decode_z_source", type=str,
                         default=defaults.decode_z_source,
                         choices=("prior_sample", "prior_mean"))
+    parser.add_argument("--decode_sampling", action="store_true",
+                        help="sampled decode (temperature/top-k/top-p) "
+                        "instead of greedy argmax")
+    parser.add_argument("--decode_temperature", type=float,
+                        default=defaults.decode_temperature)
+    parser.add_argument("--decode_top_k", type=int,
+                        default=defaults.decode_top_k)
+    parser.add_argument("--decode_top_p", type=float,
+                        default=defaults.decode_top_p)
     parser.add_argument("--latent_diagnostics", action="store_true")
     parser.add_argument("--num_z_samples", type=int,
                         default=defaults.num_z_samples)

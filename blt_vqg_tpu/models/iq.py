@@ -360,7 +360,9 @@ class IQ(nn.Module):
                       max_decode_length: int = 50, latent_mode: bool = False,
                       early_stop: bool = False, with_probe: bool = True,
                       z_source: str = "prior_sample",
-                      posterior: Optional[jnp.ndarray] = None
+                      posterior: Optional[jnp.ndarray] = None,
+                      sample: bool = False, temperature: float = 1.0,
+                      top_k: int = 0, top_p: float = 1.0
                       ) -> Dict[str, jnp.ndarray]:
         """Greedy decoding with a KV cache under ``lax.scan``.
 
@@ -386,6 +388,14 @@ class IQ(nn.Module):
         cfg.decode_z_source), or with ``posterior`` tokens supplied,
         "posterior_sample"/"posterior_mean" (oracle decode for measuring the
         posterior-vs-prior BLEU gap; benchmarks/latent_decay.md).
+
+        ``sample=True`` (static) replaces the per-step argmax with a
+        categorical draw from the temperature/top-k/top-p-filtered logits
+        (ops/sampling.py) using the ``"sample"`` RNG stream — serving
+        capability extension (the reference is greedy-only) and the
+        token-level diversity knob for the info-max eval.  Incompatible
+        with the fused argmax head (needs full logits; the XLA f32 head is
+        used instead).
         """
         cfg = self.cfg
         image_features = self.encoder_cnn(images, train=False)
@@ -435,9 +445,13 @@ class IQ(nn.Module):
         if head_dt == "auto":
             head_dt = cfg.stream_weight_dtype
         use_fused_head = (cfg.use_stream_decode and not with_probe
+                          and not sample
                           and (cfg.stream_fused_head == "on"
                                or (cfg.stream_fused_head == "auto"
                                    and head_dt == "int8")))
+        # one "sample" key per decode call, folded per position inside the
+        # scan (make_rng may not be called from a scan body)
+        sample_key = self.make_rng("sample") if sample else None
         if use_fused_head:
             from blt_vqg_tpu.ops.pallas.decode_head import (
                 head_argmax, head_chunk, pad_head)
@@ -487,7 +501,13 @@ class IQ(nn.Module):
                     chunk=chunk, scales=head_scales)
                 return next_token, caches, key_pad, None, None
             logits_t = self.output_proj(y_t[:, 0].astype(jnp.float32))
-            next_token = jnp.argmax(logits_t, axis=-1).astype(jnp.int32)
+            if sample:
+                from blt_vqg_tpu.ops.sampling import sample_token
+                next_token = sample_token(
+                    jax.random.fold_in(sample_key, pos), logits_t,
+                    temperature, top_k, top_p)
+            else:
+                next_token = jnp.argmax(logits_t, axis=-1).astype(jnp.int32)
             if not with_probe:
                 return next_token, caches, key_pad, None, None
             probs = jax.nn.softmax(logits_t, axis=-1)

@@ -212,15 +212,24 @@ def make_decode_step(cfg: Config, model, latent_mode: bool,
     zs = getattr(cfg, "decode_z_source", "prior_sample")
     if zs != "prior_sample" and "z_source" in sig:
         kwargs["z_source"] = zs
+    sampling = getattr(cfg, "decode_sampling", False) and "sample" in sig
+    if sampling:
+        kwargs.update(sample=True, temperature=cfg.decode_temperature,
+                      top_k=cfg.decode_top_k, top_p=cfg.decode_top_p)
 
     @functools.partial(jax.jit, static_argnums=())
     def step(state: TrainState, images, context, rng):
+        rngs = {"latent": rng}
+        if sampling:
+            # independent stream: the token draws must not correlate with
+            # the prior z draw
+            rngs["sample"] = jax.random.fold_in(rng, 0x5A)
         return model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             images, context, max_decode_length=cfg.max_decode_length,
             latent_mode=latent_mode,
             method=type(model).decode_greedy,
-            rngs={"latent": rng}, **kwargs)
+            rngs=rngs, **kwargs)
 
     return step
 
