@@ -41,6 +41,10 @@ def main():
                     "the head in int8 (bf16 stack; auto-enables the fused "
                     "head), *_nofh forces it off (xla always runs first as "
                     "the ratio baseline)")
+    ap.add_argument("--batch", type=int, default=64,
+                    help="decode batch size (serving-throughput scaling: "
+                    "the stream kernel is the latency play at b64; larger "
+                    "batches amortize weight streaming per question)")
     cli = ap.parse_args()
     wanted = set(cli.variants.split(","))
 
@@ -52,7 +56,7 @@ def main():
     from blt_vqg_tpu.train.state import create_train_state
     from blt_vqg_tpu.train.step import make_decode_step
 
-    BATCH = 64
+    BATCH = cli.batch
     cfg = Config(
         emb_dim=300, hidden_dim=1024, latent_dim=1024, pwffn_dim=2048,
         num_layers=6, num_heads=8, batch_size=BATCH, input_mode="cat",
