@@ -117,6 +117,7 @@ def make_cfg(args):
         total_training_steps=args.pretrain_steps + args.latent_steps,
         full_kl_step=args.full_kl_step,
         kl_ceiling=args.kl_ceiling, kl_floor=args.kl_floor,
+        target_word_dropout=args.word_dropout,
         # a checkpoint lands exactly on the pretrain/latent boundary —
         # the deterministic-decoder baseline the A/B needs
         checkpoint_every=args.pretrain_steps,
@@ -249,6 +250,9 @@ def main():
     # T=4 templates; the latent-decay fix showed kl_floor keeps the
     # posterior from being squeezed below what the decoder uses
     p.add_argument("--kl-floor", type=float, default=4.0)
+    # latent-phase decoder-input word dropout (anti-collapse lever if
+    # scale alone doesn't push the template bits into z)
+    p.add_argument("--word-dropout", type=float, default=0.0)
     p.add_argument("--num-templates", type=int, default=4)
     p.add_argument("--k", type=int, default=8)
     p.add_argument("--val-every", type=int, default=250)

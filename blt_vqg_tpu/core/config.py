@@ -77,6 +77,12 @@ class Config:
     relu_dropout: float = 0.1
     layer_dropout: float = 0.0
     input_dropout: float = 0.0
+    # >0: latent-phase decoder-input word dropout (Bowman et al. 2016) —
+    # each non-pad teacher-forced input token is replaced by <unk> with
+    # this probability, weakening the autoregressive path so
+    # reconstruction leans on z (anti-posterior-collapse knob; no
+    # reference equivalent)
+    target_word_dropout: float = 0.0
 
     # --- harness cadence (reference train_iq.py:372-373) ---
     val_check_interval: int = 500
@@ -351,6 +357,8 @@ def add_config_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     parser.add_argument("--full_kl_step", type=int, default=defaults.full_kl_step)
     parser.add_argument("--kl_ceiling", type=float, default=defaults.kl_ceiling)
     parser.add_argument("--kl_floor", type=float, default=defaults.kl_floor)
+    parser.add_argument("--target_word_dropout", type=float,
+                        default=defaults.target_word_dropout)
     parser.add_argument("--aux_ceiling", type=float, default=defaults.aux_ceiling)
     parser.add_argument("--image_recon_lambda", type=float,
                         default=defaults.image_recon_lambda)

@@ -34,7 +34,7 @@ from blt_vqg_tpu.ops.mlp import MLP
 from blt_vqg_tpu.ops.resnet import EncoderCNN
 from blt_vqg_tpu.ops.transformer import TransformerDecoder, TransformerEncoder
 
-PAD, START, END = 0, 1, 3  # reserved ids (text/vocabulary.py contract)
+PAD, START, END, UNK = 0, 1, 3, 4  # reserved ids (text/vocabulary.py contract)
 
 
 class IQ(nn.Module):
@@ -159,6 +159,18 @@ class IQ(nn.Module):
         # key-padding mask only; causality is structural in the decoder's
         # self-attention (ops/attention.py causal=True)
         trg_mask = pad_mask(shifted, PAD)
+        if train and latent_mode and self.cfg.target_word_dropout > 0.0:
+            # latent-phase word dropout (Bowman et al. 2016): corrupt the
+            # teacher-forced input (never the <start>/injection slot, never
+            # pads — the mask above is computed on the clean sequence) so
+            # reconstruction cannot ride the autoregressive path alone and
+            # must pull information through z.
+            keep = jax.random.bernoulli(
+                self.make_rng("dropout"),
+                1.0 - self.cfg.target_word_dropout, shifted.shape)
+            droppable = (shifted != PAD).at[:, 0].set(False)
+            shifted = jnp.where(droppable & ~keep,
+                                jnp.full_like(shifted, UNK), shifted)
         temb = self.embed_tokens(shifted)
         inject = image_features if z_proj is None else image_features + z_proj
         temb = temb.at[:, 0].add(inject.astype(temb.dtype))

@@ -226,3 +226,76 @@ class TestConfigFlagSmoke:
             step = make_train_step(cfg, latent_mode=latent)
             state, m = step(state, batch, jax.random.key(3))
             assert np.isfinite(float(m["loss"])), (latent, m)
+
+
+class TestTargetWordDropout:
+    """cfg.target_word_dropout: latent-phase decoder-input corruption
+    (anti-posterior-collapse knob; no reference equivalent)."""
+
+    def _setup(self, tiny_cfg, vocab_size, rate):
+        # all stochastic layers off so the 'dropout' stream is consumed
+        # ONLY by the word-dropout branch (flax Dropout(rate=0) never
+        # calls make_rng) — makes logits comparable across configs
+        cfg = tiny_cfg.replace(attention_dropout=0.0, relu_dropout=0.0,
+                               input_dropout=0.0, target_word_dropout=rate)
+        model = IQ(cfg, vocab_size)
+        b = 4
+        rng = np.random.RandomState(7)
+        images = jnp.asarray(rng.rand(b, cfg.image_size, cfg.image_size, 3),
+                             jnp.float32)
+        context = jnp.asarray(rng.randint(6, vocab_size, (b, cfg.max_context_len)), jnp.int32)
+        posterior = jnp.asarray(rng.randint(6, vocab_size, (b, cfg.max_posterior_len)), jnp.int32)
+        target = jnp.asarray(rng.randint(6, vocab_size, (b, cfg.max_q_length)), jnp.int32)
+        target = target.at[:, -3:].set(0)  # trailing pads
+        variables = model.init(
+            {"params": jax.random.key(0), "latent": jax.random.key(1),
+             "dropout": jax.random.key(2)},
+            images, context, posterior, target, latent_mode=True, train=False)
+        return cfg, model, variables, (images, context, posterior, target)
+
+    def _logits(self, model, variables, batch, *, latent, train, dkey=4):
+        out, _ = model.apply(
+            variables, *batch, latent_mode=latent, train=train,
+            rngs={"latent": jax.random.key(3), "dropout": jax.random.key(dkey)},
+            mutable=["batch_stats"])
+        return out[0]
+
+    def test_rate_one_equals_manual_unk(self, tiny_cfg, vocab_size):
+        """rate=1.0 corrupts every non-pad teacher-forced input (never the
+        <start>/pos-0 slot): logits must equal a clean forward whose target
+        inputs were UNK'd by hand."""
+        cfg, model, variables, batch = self._setup(tiny_cfg, vocab_size, 1.0)
+        images, context, posterior, target = batch
+        logits_dropped = self._logits(model, variables, batch,
+                                      latent=True, train=True)
+
+        # hand-build the equivalent clean target: shifted[:,1:]=target[:,:-1]
+        # all non-pad → UNK; final target column never enters the input
+        t2 = target.at[:, :-1].set(
+            jnp.where(target[:, :-1] != 0, 4, target[:, :-1]))
+        cfg0 = cfg.replace(target_word_dropout=0.0)
+        model0 = IQ(cfg0, vocab_size)
+        logits_manual = self._logits(
+            model0, variables, (images, context, posterior, t2),
+            latent=True, train=True)
+        np.testing.assert_allclose(np.asarray(logits_dropped),
+                                   np.asarray(logits_manual),
+                                   rtol=1e-6, atol=1e-6)
+
+    def test_inactive_paths_untouched(self, tiny_cfg, vocab_size):
+        """Eval mode and the pretrain phase must ignore the knob."""
+        cfg, model, variables, batch = self._setup(tiny_cfg, vocab_size, 0.9)
+        cfg0 = cfg.replace(target_word_dropout=0.0)
+        model0 = IQ(cfg0, vocab_size)
+        for latent, train in ((True, False), (False, True), (False, False)):
+            a = self._logits(model, variables, batch, latent=latent, train=train)
+            b = self._logits(model0, variables, batch, latent=latent, train=train)
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                          err_msg=f"latent={latent} train={train}")
+
+    def test_stochastic_across_keys(self, tiny_cfg, vocab_size):
+        """Intermediate rate: different dropout keys → different logits."""
+        cfg, model, variables, batch = self._setup(tiny_cfg, vocab_size, 0.5)
+        a = self._logits(model, variables, batch, latent=True, train=True, dkey=10)
+        b = self._logits(model, variables, batch, latent=True, train=True, dkey=11)
+        assert not np.allclose(np.asarray(a), np.asarray(b))
