@@ -34,6 +34,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
+# pad-masked keys fill (== ops/masks.MASK_FILL): strictly higher than the
+# future fill so degenerate all-pad rows match the XLA decode step
+PAD_FILL = -1e18
 
 
 def _interpret() -> bool:
@@ -52,9 +55,13 @@ def _layernorm(x, scale, bias, eps=1e-6):
 #           + accumulated out-projection + residual, grid over heads
 
 def _self_attn_kernel(pos_ref, x_ref, ls_ref, lb_ref, wqkv_ref, wout_ref,
-                      ck_in_ref, cv_in_ref,
-                      out_ref, ck_ref, cv_ref,
-                      *, head_dim: int, dtype):
+                      ck_in_ref, cv_in_ref, *rest,
+                      head_dim: int, dtype, has_kp: bool = False):
+    if has_kp:
+        kp_ref, out_ref, ck_ref, cv_ref = rest
+    else:
+        kp_ref = None
+        out_ref, ck_ref, cv_ref = rest
     h = pl.program_id(0)
     pos = pos_ref[0]
     del ck_in_ref, cv_in_ref  # aliased with ck_ref/cv_ref (in-place caches)
@@ -80,6 +87,12 @@ def _self_attn_kernel(pos_ref, x_ref, ls_ref, lb_ref, wqkv_ref, wout_ref,
     s = jnp.sum(q[None, :, :] * kc, axis=-1)                  # [L, B] f32
     future = jax.lax.broadcasted_iota(jnp.int32, (l, 1), 0) > pos
     s = jnp.where(future, NEG_INF, s)
+    if kp_ref is not None:
+        # reference-style pad-token key masking (compat_decode_pad_mask):
+        # the pad fill is strictly HIGHER than the future fill, so an
+        # all-pad visible prefix degenerates to uniform over the visible
+        # keys exactly like the XLA step (ops/attention.py:188-196)
+        s = jnp.where(kp_ref[:] != 0.0, PAD_FILL, s)
     w = jax.nn.softmax(s, axis=0)
     ctx = jnp.sum(w[:, :, None] * vc, axis=0)                 # [B, Dh]
     partial = jax.lax.dot_general(                            # [B, D] f32
@@ -98,10 +111,12 @@ def _self_attn_kernel(pos_ref, x_ref, ls_ref, lb_ref, wqkv_ref, wout_ref,
 
 
 def self_attn_step(x, ln_scale, ln_bias, w_qkv, w_out, cache_k, cache_v,
-                   pos, num_heads: int):
+                   pos, num_heads: int, key_pad=None):
     """x [B, D]; w_qkv [H, D, 3*Dh] (per-head column slices of the fused
     [D, 3D] kernel); w_out [H, Dh, D]; caches [H, L, B, Dh] (see kernel
-    comment on the layout) updated in place at ``pos``.  Returns
+    comment on the layout) updated in place at ``pos``.  ``key_pad``
+    [L, B] f32 (nonzero = pad) adds reference-style pad-token key masking
+    (compat_decode_pad_mask; ops/attention.py step semantics).  Returns
     (x + self_attention(LN(x)), new_k, new_v).
     """
     b, d = x.shape
@@ -121,26 +136,31 @@ def self_attn_step(x, ln_scale, ln_bias, w_qkv, w_out, cache_k, cache_v,
     head4 = pl.BlockSpec((1, l, b, head_dim), lambda h: (h, 0, 0, 0),
                          memory_space=pltpu.VMEM)
     kernel = functools.partial(_self_attn_kernel, head_dim=head_dim,
-                               dtype=dtype)
+                               dtype=dtype, has_kp=key_pad is not None)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),            # pos
+        full(b, d),                                       # x
+        full(1, d), full(1, d),                           # ln scale/bias
+        pl.BlockSpec((1, d, 3 * head_dim), lambda h: (h, 0, 0),
+                     memory_space=pltpu.VMEM),            # w_qkv
+        pl.BlockSpec((1, head_dim, d), lambda h: (h, 0, 0),
+                     memory_space=pltpu.VMEM),            # w_out
+        head4, head4,                                     # caches (in)
+    ]
+    args = [pos, x, ln_scale.reshape(1, d), ln_bias.reshape(1, d),
+            w_qkv, w_out, cache_k, cache_v]
+    if key_pad is not None:
+        in_specs.append(full(l, b))                       # pad-key mask
+        args.append(key_pad.astype(jnp.float32))
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),            # pos
-            full(b, d),                                       # x
-            full(1, d), full(1, d),                           # ln scale/bias
-            pl.BlockSpec((1, d, 3 * head_dim), lambda h: (h, 0, 0),
-                         memory_space=pltpu.VMEM),            # w_qkv
-            pl.BlockSpec((1, head_dim, d), lambda h: (h, 0, 0),
-                         memory_space=pltpu.VMEM),            # w_out
-            head4, head4,                                     # caches (in)
-        ],
+        in_specs=in_specs,
         out_specs=(full(b, d), head4, head4),
         out_shape=out_shape,
         input_output_aliases={6: 1, 7: 2},   # caches update in place
         interpret=_interpret(),
-    )(pos, x, ln_scale.reshape(1, d), ln_bias.reshape(1, d),
-      w_qkv, w_out, cache_k, cache_v)
+    )(*args)
 
 
 # ======================================================================

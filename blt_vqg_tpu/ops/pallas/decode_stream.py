@@ -120,7 +120,8 @@ def quantize_stack(w: jnp.ndarray):
 
 def _stream_kernel(*refs,
                    nh: int, hc: int, fc: int, head_dim: int, dtype,
-                   nl: int, lmax: int, bucketed: bool, qmask: tuple):
+                   nl: int, lmax: int, bucketed: bool, qmask: tuple,
+                   has_kp: bool = False):
     # ``qmask``: per-weight-kind int8 flags (wqkv, wout, wqc, woc, w1, w2);
     # each quantized weight ref is immediately followed by its scale ref
     it = iter(refs)
@@ -137,6 +138,8 @@ def _stream_kernel(*refs,
     b1_ref = nxt()
     w2_ref, s2_ref = nxt(), opt(qmask[5])
     b2_ref = nxt()
+    # pad-key masks (compat_decode_pad_mask): cached rows + current pos
+    kp_ref, kpc_ref = (nxt(), nxt()) if has_kp else (None, None)
     xout_ref, knew_ref, vnew_ref = nxt(), nxt(), nxt()
     x_sc, xn_sc, acc_sc, *bufs = list(it)
 
@@ -257,6 +260,17 @@ def _stream_kernel(*refs,
                      >= pos)
             s_cache = jnp.where(stale, FUTURE_FILL, s_cache)
             s_cur = jnp.sum(q * k, axis=-1, dtype=jnp.float32)   # [B]
+            if has_kp:
+                # reference-style pad-token key masking: pad fill strictly
+                # higher than FUTURE_FILL so an all-pad visible prefix
+                # degenerates to uniform over the visible keys like the
+                # XLA step (ops/attention.py:188-196).  Stale rows stay at
+                # FUTURE_FILL (the cached row at ``pos`` is garbage — the
+                # current key rides in-flight and is masked via its own
+                # [1, B] row instead).
+                s_cache = jnp.where((kp_ref[:n] != 0.0) & ~stale,
+                                    MASK_FILL, s_cache)
+                s_cur = jnp.where(kpc_ref[0] != 0.0, MASK_FILL, s_cur)
 
             # softmax over the visible set = cached [0, pos) + current
             m = jnp.maximum(jnp.max(s_cache, axis=0), s_cur)     # [B]
@@ -362,7 +376,8 @@ def pick_stages(num_heads: int, pwffn_dim: int) -> tuple:
 def decode_stack_step(x, pos, lns, wqkv, wout, cache_k, cache_v,
                       wqc, woc, ckc, cvc, smask, w1, b1, w2, b2,
                       *, num_heads: int, cross_stages: int, ffn_stages: int,
-                      bucketed_cache: bool = True, weight_scales=None):
+                      bucketed_cache: bool = True, weight_scales=None,
+                      key_pad=None, key_pad_cur=None):
     """One whole-stack decode step.
 
     ``weight_scales``: pass ``(sqkv, sout, sqc, soc, s1, s2)`` — the per-
@@ -385,6 +400,11 @@ def decode_stack_step(x, pos, lns, wqkv, wout, cache_k, cache_v,
 
     Returns (x_out [B, D], k_new [L, H, B, Dh], v_new [L, H, B, Dh]); the
     caller inserts k_new/v_new into the caches at ``pos``.
+
+    ``key_pad`` [Lmax, B] f32 (nonzero = pad) + ``key_pad_cur`` [1, B]
+    add reference-style pad-token key masking in the self stages
+    (compat_decode_pad_mask): cached rows < pos via ``key_pad``, the
+    in-flight current key via ``key_pad_cur``.
     """
     nl, nh = wqkv.shape[0], wqkv.shape[1]
     hc, fc = cross_stages, ffn_stages
@@ -464,6 +484,13 @@ def decode_stack_step(x, pos, lns, wqkv, wout, cache_k, cache_v,
                (1, 1, 1, d)),                                     # w2
         spec((1, 1, d), lambda l, s: (l, 0, 0), memory_space=vm),  # b2
     ]
+    has_kp = key_pad is not None
+    if has_kp:
+        assert key_pad_cur is not None
+        in_specs += [
+            spec((lmax, b), lambda l, s: (0, 0), memory_space=vm),  # kp
+            spec((1, b), lambda l, s: (0, 0), memory_space=vm),  # kp @ pos
+        ]
     out_specs = (
         spec((b, d), lambda l, s: (0, 0), memory_space=vm),       # x_out
         spec((1, 1, b, dh), self_idx(4), memory_space=vm),        # k_new
@@ -483,7 +510,7 @@ def decode_stack_step(x, pos, lns, wqkv, wout, cache_k, cache_v,
     kernel = functools.partial(_stream_kernel, nh=nh, hc=hc, fc=fc,
                                head_dim=dh, dtype=x.dtype, nl=nl,
                                lmax=lmax, bucketed=bucketed_cache,
-                               qmask=qmask)
+                               qmask=qmask, has_kp=has_kp)
 
     def wargs(w, s):
         return (w,) if s is None else (w, s.astype(jnp.float32))
@@ -494,6 +521,9 @@ def decode_stack_step(x, pos, lns, wqkv, wout, cache_k, cache_v,
             *wargs(wqc, scales6[2]), *wargs(woc, scales6[3]),
             ckc, cvc, smask,
             *wargs(w1, scales6[4]), b1, *wargs(w2, scales6[5]), b2)
+    if has_kp:
+        args += (key_pad.astype(jnp.float32),
+                 key_pad_cur.astype(jnp.float32).reshape(1, b))
     return pl.pallas_call(
         kernel,
         grid=(nl, nstage),

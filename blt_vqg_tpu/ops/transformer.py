@@ -228,12 +228,8 @@ class DecoderLayer(nn.Module):
         precomputed cross-attention K/V for this layer.  ``key_pad`` [B,L]
         adds reference-style pad-token key masking (ops/attention.py step)."""
         if self.use_pallas_decode:
-            if key_pad is not None:
-                raise ValueError(
-                    "compat_decode_pad_mask is not supported on the fused "
-                    "Pallas decode path (use_pallas_decode)")
             return self._step_pallas(x_t, cache_k, cache_v, ck, cv, pos,
-                                     src_mask)
+                                     src_mask, key_pad)
         xn = self.ln_self(x_t)
         y, cache_k, cache_v = self.self_attn.step(xn, cache_k, cache_v, pos,
                                                   key_pad)
@@ -243,11 +239,14 @@ class DecoderLayer(nn.Module):
         y = self.ffn(self.ln_ffn(x_t), deterministic=True)
         return x_t + y, cache_k, cache_v
 
-    def _step_pallas(self, x_t, cache_k, cache_v, ck, cv, pos, src_mask):
+    def _step_pallas(self, x_t, cache_k, cache_v, ck, cv, pos, src_mask,
+                     key_pad=None):
         """Fused decode step: two Pallas ops instead of ~15 XLA ops — the
         serial-chain diet (ops/pallas/decode_layer.py).  All the weight
         regrouping below is loop-invariant, so XLA hoists it out of the
-        decode scan; only the two kernels run per step."""
+        decode scan; only the two kernels run per step.  ``key_pad`` [B, L]
+        bool adds reference-style pad-token key masking in the fused
+        self-attention (compat_decode_pad_mask)."""
         from blt_vqg_tpu.ops.pallas.decode_layer import (cross_ffn_step,
                                                          self_attn_step)
         h = self.num_heads
@@ -266,7 +265,9 @@ class DecoderLayer(nn.Module):
         lns = self.ln_self.variables["params"]
         y = self_attn_step(
             x_t[:, 0], lns["scale"], lns["bias"], wqkv, wout,
-            cache_k, cache_v, pos, h)
+            cache_k, cache_v, pos, h,
+            key_pad=(None if key_pad is None
+                     else key_pad.astype(jnp.float32).T))
         x2, cache_k, cache_v = y
 
         cp = self.cross_attn.variables["params"]
@@ -482,14 +483,10 @@ class TransformerDecoder(nn.Module):
             timing_signal(self.max_decode_len, self.hidden_dim, dtype=x_t.dtype))
         x_t = x_t + jnp.take(sig[0], pos[None], axis=0)[None]
         if self.use_stream_decode:
-            if key_pad is not None:
-                raise ValueError(
-                    "compat_decode_pad_mask is not supported on the "
-                    "streaming decode path (use_stream_decode)")
             if stream is None:
                 stream = self.stream_prep(cross_kvs, src_mask, x_t.shape[0])
             return self._step_stream(x_t, caches, stream, pos,
-                                     skip_final_ln)
+                                     skip_final_ln, key_pad=key_pad)
         new_caches = []
         for layer, (cache_k, cache_v), (ck, cv) in zip(
                 self.layers, caches, cross_kvs):
@@ -614,18 +611,25 @@ class TransformerDecoder(nn.Module):
         }
 
     def _step_stream(self, x_t, caches, prep, pos,
-                     skip_final_ln: bool = False):
+                     skip_final_ln: bool = False, key_pad=None):
         """Whole-stack streaming decode step: one Pallas kernel over
         grid (layers, stages) with weights/caches pipelined HBM→VMEM
         (ops/pallas/decode_stream.py).  ``prep`` is the loop-invariant
         bundle from :meth:`stream_prep`; per step only the kernel and one
-        cache ``dynamic_update_slice`` run."""
+        cache ``dynamic_update_slice`` run.  ``key_pad`` [B, Lmax] bool
+        (compat_decode_pad_mask) masks pad-token keys in-kernel; the
+        current position's row is sliced out here since its key rides
+        in-flight rather than in the cache."""
         from blt_vqg_tpu.ops.pallas.decode_stream import (decode_stack_step,
                                                           pick_stages)
         h = self.num_heads
         hc, fc = pick_stages(h, self.pwffn_dim)
         k_all, v_all = caches[0]
         s_wqkv, s_wout, s_wqc, s_woc, s_w1, s_w2 = prep["stacks"]
+        kp = kp_cur = None
+        if key_pad is not None:
+            kp = key_pad.astype(jnp.float32).T                   # [Lmax, B]
+            kp_cur = jax.lax.dynamic_slice_in_dim(kp, pos, 1, axis=0)
         x_out, k_new, v_new = decode_stack_step(
             x_t[:, 0], pos, prep["lns"], s_wqkv,
             s_wout, k_all, v_all, s_wqc, s_woc,
@@ -633,7 +637,8 @@ class TransformerDecoder(nn.Module):
             prep["smask"], s_w1, prep["b1"], s_w2,
             prep["b2"], num_heads=h, cross_stages=hc, ffn_stages=fc,
             bucketed_cache=self.stream_bucketed_cache,
-            weight_scales=prep["scales"])
+            weight_scales=prep["scales"],
+            key_pad=kp, key_pad_cur=kp_cur)
         k_all = jax.lax.dynamic_update_slice(
             k_all, k_new[:, :, None], (0, 0, pos, 0, 0))
         v_all = jax.lax.dynamic_update_slice(

@@ -126,18 +126,43 @@ class TestStreamDecodeStep:
                          cross_p, jnp.asarray(0, jnp.int32), None,
                          method=TransformerDecoder.step)
 
-    def test_compat_pad_mask_rejected(self, dec_setup):
+    def test_compat_pad_mask_matches_plain_path(self, dec_setup):
+        """key_pad (compat_decode_pad_mask) on the stream kernel: a decode
+        sequence with pad-masked keys must match the XLA KV-cache path step
+        for step (cached rows via the [Lmax, B] mask, the in-flight
+        current key via its own [1, B] row)."""
         plain, stream, params, enc, b, d = dec_setup
         cross_p = plain.apply(params, enc,
                               method=TransformerDecoder.precompute_cross)
-        x_t = jnp.zeros((b, 1, d), jnp.float32)
-        with pytest.raises(ValueError, match="stream"):
-            stream.apply(params, x_t,
-                         stream.apply(params, b, 4,
-                                      method=TransformerDecoder.init_cache),
-                         cross_p, jnp.asarray(0, jnp.int32), None,
-                         jnp.zeros((b, 4), bool),
-                         method=TransformerDecoder.step)
+        steps = 4
+        # pad pattern exercising all cases: a pad seed at pos 0 (every row),
+        # plus a mid-sequence pad on row 1
+        key_pad = np.zeros((b, steps), bool)
+        key_pad[:, 0] = True
+        key_pad[1, 2] = True
+        caches_p = plain.apply(params, b, steps,
+                               method=TransformerDecoder.init_cache)
+        caches_s = stream.apply(params, b, steps,
+                                method=TransformerDecoder.init_cache)
+        r = np.random.RandomState(3)
+        for pos in range(steps):
+            x_t = jnp.asarray(r.randn(b, 1, d), jnp.float32)
+            # the decode loop grows the mask one row per step — marks never
+            # exist at positions > pos (models/iq.py one_step)
+            kp_np = key_pad.copy()
+            kp_np[:, pos + 1:] = False
+            kp = jnp.asarray(kp_np)
+            y_p, caches_p = plain.apply(
+                params, x_t, caches_p, cross_p,
+                jnp.asarray(pos, jnp.int32), None, kp,
+                method=TransformerDecoder.step)
+            y_s, caches_s = stream.apply(
+                params, x_t, caches_s, cross_p,
+                jnp.asarray(pos, jnp.int32), None, kp,
+                method=TransformerDecoder.step)
+            np.testing.assert_allclose(np.asarray(y_s), np.asarray(y_p),
+                                       atol=2e-5, rtol=2e-5,
+                                       err_msg=f"pos={pos}")
 
 
 class TestStreamInt8Weights:
