@@ -268,7 +268,10 @@ def _stream_kernel(*refs,
                 # FUTURE_FILL (the cached row at ``pos`` is garbage — the
                 # current key rides in-flight and is masked via its own
                 # [1, B] row instead).
-                s_cache = jnp.where((kp_ref[:n] != 0.0) & ~stale,
+                # full-ref load then VALUE slice: bucket sizes are not
+                # sublane-aligned, and Mosaic lowers arbitrary static
+                # slices of values more robustly than sub-tile ref loads
+                s_cache = jnp.where((kp_ref[:][:n] != 0.0) & ~stale,
                                     MASK_FILL, s_cache)
                 s_cur = jnp.where(kpc_ref[0] != 0.0, MASK_FILL, s_cur)
 
