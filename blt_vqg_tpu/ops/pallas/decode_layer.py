@@ -33,10 +33,15 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from blt_vqg_tpu.ops.masks import MASK_FILL
+
 NEG_INF = -1e30
-# pad-masked keys fill (== ops/masks.MASK_FILL): strictly higher than the
-# future fill so degenerate all-pad rows match the XLA decode step
-PAD_FILL = -1e18
+# pad-masked keys fill: strictly higher than the future fill so degenerate
+# all-pad rows match the XLA decode step.  Imported from ops/masks so the
+# three decode paths (XLA step / per-layer kernel / stream kernel) cannot
+# silently diverge if the fill value changes.
+PAD_FILL = MASK_FILL
+assert PAD_FILL > NEG_INF, "pad fill must sit strictly above the future fill"
 
 
 def _interpret() -> bool:

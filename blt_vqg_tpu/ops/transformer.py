@@ -226,7 +226,16 @@ class DecoderLayer(nn.Module):
              key_pad=None):
         """One decode step. x_t [B,1,D]; caches [B,L,H,Dh]; (ck, cv) are the
         precomputed cross-attention K/V for this layer.  ``key_pad`` [B,L]
-        adds reference-style pad-token key masking (ops/attention.py step)."""
+        adds reference-style pad-token key masking (ops/attention.py step).
+
+        PRECONDITION: ``key_pad`` must never mark a position > ``pos``.
+        The pad fill (-1e18) sits strictly ABOVE the future fill (-1e30),
+        and this path (like the per-layer Pallas kernel) applies it
+        unguarded over all L rows — a mark past ``pos`` would un-mask a
+        garbage cache row.  models/iq.py one_step only marks emitted
+        tokens, so the invariant holds for every in-repo caller; the
+        stream kernel additionally guards with ``~stale`` and would
+        diverge from the other two paths if a caller broke it."""
         if self.use_pallas_decode:
             return self._step_pallas(x_t, cache_k, cache_v, ck, cv, pos,
                                      src_mask, key_pad)
@@ -469,6 +478,9 @@ class TransformerDecoder(nn.Module):
 
         ``key_pad`` [B, L] (optional) masks pad-*token* keys in decode
         self-attention like the reference does (see DecoderLayer.step).
+        PRECONDITION: callers must never mark a position > ``pos``
+        (pad fill overrides the future fill on the XLA and per-layer
+        kernel paths — see DecoderLayer.step).
         ``skip_final_ln=True`` returns the raw stack output (the fused
         decode head, ops/pallas/decode_head.py, applies the final LN
         itself).  ``stream`` (streaming path only) is the loop-invariant

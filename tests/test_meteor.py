@@ -8,6 +8,7 @@ parameters, exact+stem stages, jar-Aligner objective order.
 """
 
 import math
+import os
 
 import pytest
 
@@ -235,3 +236,46 @@ class TestCorpus:
         out2 = ev.compute_metrics([["what color is the small cat"]],
                                   ["what is the color of the cat"])
         assert 0.0 < out2["METEOR"] < 1.0
+
+
+class TestRound5TableExpansion:
+    """Pins the round-5 expanded vendored tables (VERDICT r4 #6): the
+    coverage measured by benchmarks/meteor_table_delta.py must not
+    regress — a sample of WordNet-true pairs the round-4 minimal table
+    did NOT cover must synonym-match, and expanded paraphrase spans must
+    fire."""
+
+    def test_new_synonym_pairs_match(self):
+        from blt_vqg_tpu.train.meteor import W_SYN, _default_tables
+        syn, _ = _default_tables()
+        # none of these were covered by the round-4 minimal table
+        for a, b in [("physician", "doctor"), ("bunny", "rabbit"),
+                     ("supper", "dinner"), ("spanner", "wrench"),
+                     ("metropolis", "city"), ("lift", "elevator"),
+                     ("sprint", "run"), ("purchase", "buy"),
+                     ("gorgeous", "beautiful"), ("chilly", "cold"),
+                     ("extremely", "very"), ("seldom", "rarely")]:
+            pairs = align([a], [b], syn_map=syn)
+            assert pairs == [(0, 0, W_SYN, 1, 1)], (a, b)
+
+    def test_new_paraphrases_fire(self):
+        for a, b in [("pick up", "lift"), ("wake up", "awaken"),
+                     ("cell phone", "mobile phone"),
+                     ("a great deal of", "much")]:
+            assert meteor_sentence(a.split(), b.split()) > 0.0, (a, b)
+
+    def test_coverage_pinned(self):
+        """The benchmarks/meteor_table_delta.py suite coverage (0.998
+        synonym / 1.000 paraphrase at round 5) must not silently drop."""
+        import importlib.util
+        spec = importlib.util.spec_from_file_location(
+            "meteor_table_delta",
+            os.path.join(os.path.dirname(__file__), "..", "benchmarks",
+                         "meteor_table_delta.py"))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        from blt_vqg_tpu.train.meteor import _default_tables
+        syn, _ = _default_tables()
+        hits = sum(1 for a, b in mod.EVAL_PAIRS
+                   if syn.get(a, frozenset()) & syn.get(b, frozenset()))
+        assert hits / len(mod.EVAL_PAIRS) >= 0.99
