@@ -30,7 +30,19 @@ import numpy as np
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_compile_cache")
+
+
+def _enable_compile_cache():
+    """The JAX_COMPILATION_CACHE_DIR env var is IGNORED by this jax build
+    (round-5 diagnosis, benchmarks/METHODOLOGY.md); the cache must be
+    enabled through jax.config after `import jax`."""
+    import jax
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                       "/tmp/jax_compile_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
 
 BATCH = 64
 
@@ -96,6 +108,7 @@ def main():
 
     if args.mode in ("device", "all"):
         import jax
+        _enable_compile_cache()
         out["platform"] = jax.devices()[0].platform
 
         # raw link bandwidth: device_put of one batch's image payload,

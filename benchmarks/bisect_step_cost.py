@@ -23,7 +23,19 @@ import numpy as np
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_compile_cache")
+
+
+def _enable_compile_cache():
+    """The JAX_COMPILATION_CACHE_DIR env var is IGNORED by this jax build
+    (round-5 diagnosis, benchmarks/METHODOLOGY.md); the cache must be
+    enabled through jax.config after `import jax`."""
+    import jax
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                       "/tmp/jax_compile_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
 
 BATCH = 64
 
@@ -60,6 +72,7 @@ def _slope(run_k, k1=5, k2=25, repeats=5):
 
 def main():
     import jax
+    _enable_compile_cache()
     import jax.numpy as jnp
 
     from __graft_entry__ import _example_batch

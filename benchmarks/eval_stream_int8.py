@@ -26,7 +26,19 @@ import numpy as np
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_compile_cache")
+
+
+def _enable_compile_cache():
+    """The JAX_COMPILATION_CACHE_DIR env var is IGNORED by this jax build
+    (round-5 diagnosis, benchmarks/METHODOLOGY.md); the cache must be
+    enabled through jax.config after `import jax`."""
+    import jax
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                       "/tmp/jax_compile_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
 
 
 def main():
@@ -34,6 +46,10 @@ def main():
     ap.add_argument("--model-dir", default="/root/runs/flagship_learnable")
     ap.add_argument("--val", default="/root/data_flagship_learn/packed_val")
     ap.add_argument("--batches", type=int, default=10)
+    ap.add_argument("--batch", type=int, default=0,
+                    help="override the decode batch size (0 = the "
+                    "checkpoint config's batch_size) — use 128 to score "
+                    "the b128 serving-headline config (VERDICT r4 #3)")
     ap.add_argument("--variants",
                     default="xla,stream,stream_h8,stream_int8",
                     help="xla | stream (bf16 kernel) | stream_h8 (bf16 "
@@ -42,6 +58,7 @@ def main():
     args = ap.parse_args()
 
     import jax
+    _enable_compile_cache()
 
     from blt_vqg_tpu.core.checkpoint import CheckpointManager
     from blt_vqg_tpu.core.config import Config
@@ -55,6 +72,8 @@ def main():
     from blt_vqg_tpu.train.trainer import filter_special_tokens
 
     cfg = Config.load(os.path.join(args.model_dir, "args.json"))
+    if args.batch:
+        cfg = cfg.replace(batch_size=args.batch)
     vocab = load_vocab(cfg.vocab)
     cat2name = cfg.cat2name if os.path.exists(cfg.cat2name) else None
     # packed dir or plain hdf5 (e.g. the latent-decay probe corpora)

@@ -41,7 +41,19 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_compile_cache")
+
+
+def _enable_compile_cache():
+    """The JAX_COMPILATION_CACHE_DIR env var is IGNORED by this jax build
+    (round-5 diagnosis, benchmarks/METHODOLOGY.md); the cache must be
+    enabled through jax.config after `import jax`."""
+    import jax
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                       "/tmp/jax_compile_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
 
 import numpy as np
 
@@ -86,6 +98,7 @@ def _kernel(x_ref, w_ref, *rest, mode):
 
 def build(mode, stages):
     import jax
+    _enable_compile_cache()
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -132,6 +145,7 @@ def build(mode, stages):
 
 def measure(mode, stages=STAGES):
     import jax
+    _enable_compile_cache()
     x, run = build(mode, stages)
     t0 = time.time()
     _ = float(run(x, 1))
@@ -153,6 +167,7 @@ def measure(mode, stages=STAGES):
 
 def main():
     import jax
+    _enable_compile_cache()
     log("backend:", jax.default_backend(), jax.devices())
     out = {
         "bf16": measure("bf16"),

@@ -29,7 +29,19 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_compile_cache")
+
+
+def _enable_compile_cache():
+    """The JAX_COMPILATION_CACHE_DIR env var is IGNORED by this jax build
+    (round-5 diagnosis, benchmarks/METHODOLOGY.md); the cache must be
+    enabled through jax.config after `import jax`."""
+    import jax
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                       "/tmp/jax_compile_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
 
 import numpy as np
 
@@ -47,6 +59,7 @@ def log(*a):
 
 def build(qsel):
     import jax
+    _enable_compile_cache()
     import jax.numpy as jnp
     from blt_vqg_tpu.ops.pallas.decode_stream import (decode_stack_step,
                                                       pick_stages,
@@ -122,6 +135,7 @@ def measure(name, qsel):
 
 def main():
     import jax
+    _enable_compile_cache()
     log("backend:", jax.default_backend(), jax.devices())
     out = {"bf16": measure("bf16", ())}
     for k in KINDS:
