@@ -396,11 +396,31 @@ def bench_jax() -> dict:
         return float(mm["loss"])
 
     train_sps_diet = BATCH * G / _slope_time(run_diet, 2, 7)
+
+    # ---- diet v2 (round 5): + Adafactor-style factored second moment
+    # (--adam_factored_nu) — removes ~1.9 GB/step more from the fused
+    # update, which attribution_r5 measured AT its bandwidth floor
+    # (10.0 ms of the 24.6 ms step); like the other diet knobs this
+    # changes optimizer numerics and is off by default
+    cfg_diet2 = cfg_diet.replace(adam_factored_nu=True)
+    model_diet2 = IQ(cfg_diet2, vocab_size)
+    state_diet2 = create_train_state(cfg_diet2, model_diet2,
+                                     jax.random.key(0), batch)
+    multi_diet2 = make_multi_step(cfg_diet2, latent_mode=True)
+
+    def run_diet2(k, st=[state_diet2]):
+        s = st[0]
+        for i in range(k):
+            s, mm = multi_diet2(s, stacked, jax.random.key(i))
+        st[0] = s
+        return float(mm["loss"])
+
+    train_sps_diet2 = BATCH * G / _slope_time(run_diet2, 2, 7)
     del stacked
 
     platform = jax.devices()[0].platform
     log(f"jax[{platform}]: {train_sps:.1f} samples/s train (b64), "
-        f"{train_sps_diet:.1f} diet, "
+        f"{train_sps_diet:.1f} diet, {train_sps_diet2:.1f} diet-v2, "
         f"{train_sps_256:.1f} (b256), {decode_qps:.1f} q/s serving decode "
         f"({decode_qps_stream:.1f} stream-kernel, "
         f"{decode_qps_stream_h8:.1f} stream+int8-head, "
@@ -411,6 +431,7 @@ def bench_jax() -> dict:
         f"compile {compile_s:.1f}s")
     return {"train_sps": train_sps, "train_sps_single": train_sps_single,
             "train_sps_256": train_sps_256, "train_sps_diet": train_sps_diet,
+            "train_sps_diet2": train_sps_diet2,
             "decode_qps": decode_qps, "decode_qps_probe": decode_qps_probe,
             "decode_qps_512": decode_qps_512,
             "decode_qps_stream": decode_qps_stream,
@@ -667,6 +688,8 @@ def main():
         "train_samples_per_sec_single_dispatch": round(jx["train_sps_single"], 2),
         "train_samples_per_sec_batch256": round(jx["train_sps_256"], 2),
         "train_samples_per_sec_diet": round(jx["train_sps_diet"], 2),
+        "train_samples_per_sec_diet_v2_factored_nu": round(
+            jx["train_sps_diet2"], 2),
         "decode_questions_per_sec": round(jx["decode_qps"], 2),
         "decode_questions_per_sec_probed": round(jx["decode_qps_probe"], 2),
         "decode_questions_per_sec_batch512": round(jx["decode_qps_512"], 2),

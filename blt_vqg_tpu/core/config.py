@@ -279,6 +279,16 @@ class Config:
                                       # parity runs bit-faithful.  Second
                                       # moments stay f32 (sqrt of a tiny
                                       # value needs the mantissa).
+    adam_factored_nu: bool = False    # Adafactor-style factored second
+                                      # moment for >=2-D trainable leaves
+                                      # (train/fused_adam.py FactoredNu):
+                                      # removes ~1.9 GB/step of the
+                                      # bandwidth-FLOORED fused update
+                                      # (attribution_r5: 10.0 ms measured
+                                      # vs 6.5 GB analytic).  Changes
+                                      # optimizer numerics — off for
+                                      # reference parity, like the other
+                                      # diet knobs.
     grad_dtype: str = "float32"       # "bfloat16" stores gradients bf16:
                                       # XLA fuses the cast into the dW GEMM
                                       # epilogues so the f32 grads never
@@ -478,6 +488,11 @@ def add_config_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     parser.add_argument("--adam_mu_dtype", type=str,
                         default=defaults.adam_mu_dtype,
                         choices=("float32", "bfloat16"))
+    parser.add_argument("--adam_factored_nu", action="store_true",
+                        default=defaults.adam_factored_nu,
+                        help="Adafactor-style factored second moment for "
+                        ">=2-D trainable leaves (optimizer diet; changes "
+                        "optimizer numerics — see train/fused_adam.py)")
     parser.add_argument("--grad_dtype", type=str,
                         default=defaults.grad_dtype,
                         choices=("float32", "bfloat16"),

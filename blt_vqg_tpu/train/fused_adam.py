@@ -37,12 +37,38 @@ class FusedAdamState(NamedTuple):
     """Adam moments + step count.  Frozen leaves hold ``optax.MaskedNode``
     (an empty pytree — no HBM, nothing serialized).  ``master`` holds f32
     master copies for leaves stored in bf16 (``cfg.param_dtype=bfloat16``
-    mixed-precision diet) — MaskedNode everywhere else."""
+    mixed-precision diet) — MaskedNode everywhere else.  With
+    ``cfg.adam_factored_nu`` the ``nu`` entry of every ≥2-D trainable leaf
+    is a ``FactoredNu`` pair instead of a full tensor."""
 
     count: jnp.ndarray  # int32 scalar
     mu: Any
     nu: Any
     master: Any = optax.MaskedNode()
+
+
+class FactoredNu(NamedTuple):
+    """Adafactor-style factored second moment for one ≥2-D leaf
+    (``cfg.adam_factored_nu``, round-5 optimizer diet).
+
+    The f32 ν tensor is the bandwidth-floored term the attribution probe
+    cannot diet away without changing numerics (benchmarks/METHODOLOGY.md
+    round 5: the fused update measures 10.0 ms ≈ its 6.5 GB analytic
+    floor).  Following Shazeer & Stern (Adafactor, 2018), ν of a leaf
+    with trailing dims (n, m) is replaced by row/col EMAs of g²:
+
+        r ← b2·r + (1−b2)·Σ_cols g²        shape [..., n]
+        c ← b2·c + (1−b2)·Σ_rows g²        shape [..., m]
+        ν̂ ≈ (r ⊗ c) / Σ r                 (exact when g² is rank-1)
+
+    Leading dims (the nn.scan layer stacking [L, ...]) batch through.
+    1-D leaves (biases, LayerNorms) keep full ν — their bytes are noise.
+    This changes optimizer NUMERICS (off by default, like the other diet
+    knobs); μ, clipping, bias correction and lr semantics are unchanged.
+    """
+
+    r: jnp.ndarray  # EMA of g² summed over the last dim
+    c: jnp.ndarray  # EMA of g² summed over the second-to-last dim
 
 
 def _global_sq_norm(grads_and_masks) -> jnp.ndarray:
@@ -65,7 +91,7 @@ class FusedClipAdam:
 
     def __init__(self, grad_clip: float, frozen_fn, mu_dtype=jnp.float32,
                  b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8,
-                 master_fn=None):
+                 master_fn=None, factored_nu: bool = False):
         self.grad_clip = float(grad_clip)
         self.frozen_fn = frozen_fn  # path -> bool (static, trace-time)
         self.mu_dtype = jnp.dtype(mu_dtype)
@@ -75,6 +101,13 @@ class FusedClipAdam:
         # path -> bool: leaf is STORED bf16 with an f32 master copy here
         # (cfg.param_dtype="bfloat16"); None = pure-f32 storage, no masters
         self.master_fn = master_fn
+        # cfg.adam_factored_nu: ≥2-D trainable leaves carry a FactoredNu
+        # pair instead of a full ν tensor (round-5 optimizer diet)
+        self.factored_nu = bool(factored_nu)
+
+    def _is_factored(self, path, p) -> bool:
+        return (self.factored_nu and not self.frozen_fn(path)
+                and getattr(p, "ndim", 0) >= 2)
 
     def _is_master(self, path) -> bool:
         return (self.master_fn is not None and not self.frozen_fn(path)
@@ -103,7 +136,15 @@ class FusedClipAdam:
 
         mu = jax.tree_util.tree_map_with_path(
             lambda pth, p: zeros(pth, p, self.mu_dtype), params)
-        nu = jax.tree_util.tree_map_with_path(zeros, params)
+
+        def nu_zeros(path, p):
+            if self._is_factored(path, p):
+                return FactoredNu(
+                    r=jnp.zeros(p.shape[:-1], jnp.float32),
+                    c=jnp.zeros(p.shape[:-2] + p.shape[-1:], jnp.float32))
+            return zeros(path, p)
+
+        nu = jax.tree_util.tree_map_with_path(nu_zeros, params)
         master = jax.tree_util.tree_map_with_path(
             lambda pth, p: (p.astype(jnp.float32) if self._is_master(pth)
                             else optax.MaskedNode()), params)
@@ -175,9 +216,21 @@ class FusedClipAdam:
             # moment EMAs exactly as optax.tree.update_moment (bf16 mu:
             # b1*mu computed in mu's dtype, then promoted by the add)
             mu32 = (1 - b1) * gc + b1 * mu
-            nu1 = (1 - b2) * (gc ** 2) + b2 * nu
             mu_hat = mu32 / bc1.astype(mu32.dtype)
-            nu_hat = nu1 / bc2.astype(nu1.dtype)
+            if isinstance(nu, FactoredNu):
+                # Adafactor second moment (see FactoredNu): row/col EMAs
+                # of g², rank-1 reconstruction, same bias correction
+                g2 = gc.astype(jnp.float32) ** 2
+                r1 = b2 * nu.r + (1 - b2) * jnp.sum(g2, axis=-1)
+                c1 = b2 * nu.c + (1 - b2) * jnp.sum(g2, axis=-2)
+                denom = jnp.maximum(
+                    jnp.sum(r1, axis=-1)[..., None, None], 1e-30)
+                nu_hat = (r1[..., :, None] * c1[..., None, :] / denom
+                          / bc2)
+                nu1 = FactoredNu(r1, c1)
+            else:
+                nu1 = (1 - b2) * (gc ** 2) + b2 * nu
+                nu_hat = nu1 / bc2.astype(nu1.dtype)
             u = mu_hat / (jnp.sqrt(nu_hat) + eps)
             # scale(-1) -> lr multiply -> apply_updates, collapsed; IEEE
             # sign symmetry of multiply keeps this bitwise equal to the
@@ -203,10 +256,11 @@ class FusedClipAdam:
 
 
 def _flatten_masked(tree):
-    """Flatten keeping MaskedNode placeholders as leaves so the moment
-    lists align 1:1 with the param leaves."""
+    """Flatten keeping MaskedNode placeholders (and FactoredNu pairs) as
+    single leaves so the moment lists align 1:1 with the param leaves."""
     return jax.tree_util.tree_flatten(
-        tree, is_leaf=lambda x: isinstance(x, optax.MaskedNode))
+        tree, is_leaf=lambda x: isinstance(x, (optax.MaskedNode,
+                                               FactoredNu)))
 
 
 def global_norm(tree) -> jnp.ndarray:

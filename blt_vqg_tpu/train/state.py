@@ -66,10 +66,14 @@ def make_optimizer(cfg: Config, params: Any):
         return FusedClipAdam(
             cfg.grad_clip, _is_frozen_path, mu_dtype=mu_dtype,
             master_fn=((lambda p: not _is_f32_consumed_path(p)) if mixed
-                       else None))
+                       else None),
+            factored_nu=getattr(cfg, "adam_factored_nu", False))
     if mixed:
         raise ValueError("param_dtype='bfloat16' requires fused_adam=True "
                          "(the optax chain has no f32 master copy)")
+    if getattr(cfg, "adam_factored_nu", False):
+        raise ValueError("adam_factored_nu requires fused_adam=True "
+                         "(the optax chain has no factored second moment)")
     label = jax.tree_util.tree_map_with_path(
         lambda path, _: "frozen" if _is_frozen_path(path) else "train", params)
     trainable = optax.chain(

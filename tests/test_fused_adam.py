@@ -393,3 +393,98 @@ class TestModelParity:
         _tree_eq(restored.opt_state.mu, state.opt_state.mu)
         _tree_eq(restored.opt_state.nu, state.opt_state.nu)
         assert int(restored.opt_state.count) == int(state.opt_state.count)
+
+
+class TestFactoredNu:
+    """Round-5 optimizer diet (cfg.adam_factored_nu): Adafactor-style
+    factored second moment for >=2-D trainable leaves
+    (train/fused_adam.py FactoredNu)."""
+
+    def _opt(self, factored=True):
+        return FusedClipAdam(5.0, lambda path: "frozen" in str(path),
+                             factored_nu=factored)
+
+    def test_state_structure(self):
+        from blt_vqg_tpu.train.fused_adam import FactoredNu
+        params = {"w": jnp.ones((4, 6)), "b": jnp.ones((6,)),
+                  "stack": jnp.ones((3, 4, 6)),
+                  "frozen_k": jnp.ones((4, 6))}
+        st = self._opt().init(params)
+        assert isinstance(st.nu["w"], FactoredNu)
+        assert st.nu["w"].r.shape == (4,) and st.nu["w"].c.shape == (6,)
+        # leading (layer-stack) dims batch through
+        assert isinstance(st.nu["stack"], FactoredNu)
+        assert st.nu["stack"].r.shape == (3, 4)
+        assert st.nu["stack"].c.shape == (3, 6)
+        # 1-D leaves keep full nu; frozen leaves stay masked
+        assert st.nu["b"].shape == (6,)
+        assert isinstance(st.nu["frozen_k"], optax.MaskedNode)
+        assert isinstance(st.mu["w"], jnp.ndarray)  # mu untouched
+
+    def test_rank1_grad_exact_vs_full_adam(self):
+        """The rank-1 reconstruction is EXACT when g**2 is rank-1, so a
+        single step on an outer-product gradient must equal full Adam."""
+        params = {"w": jnp.zeros((5, 7), jnp.float32)}
+        g = {"w": jnp.outer(jnp.array([.1, .2, .3, .4, .5]),
+                            jnp.array([.7, .6, .5, .4, .3, .2, .1]))}
+        full = self._opt(factored=False)
+        fact = self._opt(factored=True)
+        p_full, _, _ = full.update_params(params, g, full.init(params), 0.01)
+        p_fact, _, _ = fact.update_params(params, g, fact.init(params), 0.01)
+        _tree_eq(p_full, p_fact, atol=1e-7)
+
+    def test_general_grad_close_but_not_equal(self):
+        """On a non-rank-1 gradient the factored update is an
+        approximation — close in scale, not bitwise."""
+        rng = np.random.RandomState(0)
+        params = {"w": jnp.zeros((8, 8), jnp.float32)}
+        g = {"w": jnp.asarray(rng.randn(8, 8), jnp.float32)}
+        full = self._opt(factored=False)
+        fact = self._opt(factored=True)
+        p_full, _, _ = full.update_params(params, g, full.init(params), 0.01)
+        p_fact, _, _ = fact.update_params(params, g, fact.init(params), 0.01)
+        a = np.asarray(p_full["w"]); b = np.asarray(p_fact["w"])
+        assert not np.array_equal(a, b)
+        # same sign everywhere (the factored nu_hat is positive), and the
+        # OVERALL update scale matches full Adam (per-element ratios
+        # spread — rank-1 reconstruction of a random g² — but the mean
+        # magnitude must stay lr-sized)
+        assert (np.sign(a) == np.sign(b)).all()
+        assert 0.5 < np.abs(b).mean() / np.abs(a).mean() < 2.0
+
+    def test_e2e_train_steps_and_reset(self):
+        """Tiny IQ model: steps run, loss finite, multi-step scan carry
+        holds the FactoredNu structure, and the phase-boundary
+        reset_optimizer rebuilds the same structure."""
+        from blt_vqg_tpu.core.config import Config
+        from blt_vqg_tpu.models.iq import IQ
+        from blt_vqg_tpu.train.fused_adam import FactoredNu
+        from blt_vqg_tpu.train.state import create_train_state
+        from blt_vqg_tpu.train.step import make_multi_step, make_train_step
+        from __graft_entry__ import _example_batch
+
+        cfg = Config(emb_dim=8, hidden_dim=16, latent_dim=12, pwffn_dim=32,
+                     num_layers=1, num_heads=2, batch_size=4, image_size=24,
+                     max_q_length=8, dtype="float32", full_kl_step=2,
+                     adam_factored_nu=True)
+        model = IQ(cfg, 32)
+        batch = _example_batch(cfg, 32, cfg.batch_size)
+        state = create_train_state(cfg, model, jax.random.key(0), batch)
+        n_fact = sum(isinstance(x, FactoredNu)
+                     for x in jax.tree_util.tree_leaves(
+                         state.opt_state.nu,
+                         is_leaf=lambda y: isinstance(y, FactoredNu)))
+        assert n_fact > 10
+        step = make_train_step(cfg, latent_mode=False)
+        for i in range(2):
+            state, m = step(state, batch, jax.random.key(i))
+            assert np.isfinite(float(m["loss"]))
+        state = state.reset_optimizer()
+        lat = make_train_step(cfg, latent_mode=True)
+        state, m = lat(state, batch, jax.random.key(5))
+        assert np.isfinite(float(m["loss"]))
+        # steps_per_dispatch>1: the scan carry must keep the structure
+        multi = make_multi_step(cfg, latent_mode=True)
+        stacked = {k: np.stack([v, v]) for k, v in batch.items()}
+        state, m = multi(state, stacked, jax.random.key(6))
+        assert np.isfinite(float(m["loss"]))
