@@ -110,13 +110,24 @@ class Config:
     use_stream_decode: bool = False   # whole-stack streaming decode: ONE
                                       # Pallas kernel for all layers, weights
                                       # and KV cache pipelined HBM->VMEM
-                                      # (ops/pallas/decode_stream.py)
+                                      # (ops/pallas/decode_stream.py).
+                                      # Batch ceilings at flagship dims
+                                      # (16 MB scoped VMEM, measured
+                                      # round 5): bf16 weights <= b64,
+                                      # int8 <= b128; larger batches OOM
+                                      # at compile — serve them on the
+                                      # XLA path (METHODOLOGY round 5).
     stream_weight_dtype: str = "bfloat16"  # "int8": stream decode weights
                                       # quantized (per-column scales, VMEM
                                       # dequant) — halves the stream
-                                      # kernel's weight-DMA floor; serving
-                                      # knob with a quantization-accuracy
-                                      # cost
+                                      # kernel's weight-DMA floor.  Accuracy
+                                      # measured at the b128 headline on the
+                                      # flagship-v2 checkpoint: ZERO NLG
+                                      # delta vs XLA greedy (BLEU-4/METEOR/
+                                      # CIDEr identical, token agreement
+                                      # 0.977 — METHODOLOGY round 5);
+                                      # synthetic-corpus caveat applies
+                                      # until real VQA data is reachable.
     stream_fused_head: str = "auto"   # on the streaming serving decode, fuse
                                       # final-LN + vocab projection + argmax
                                       # into one Pallas kernel with the head
