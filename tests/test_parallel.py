@@ -242,3 +242,37 @@ class TestShardedStepParity:
             np.testing.assert_allclose(
                 float(m0[key]), float(m1[key]), rtol=2e-4, atol=1e-5,
                 err_msg=f"{key} diverged on the hybrid mesh")
+
+
+class TestFactoredNuComposition:
+    def test_zero1_shards_factored_nu_state(self, tiny_cfg, vocab_size,
+                                            eight_devices):
+        """ZeRO-1 × --adam_factored_nu (round 5): sharding the optimizer
+        state must compose with FactoredNu leaves — the step runs, the loss
+        is finite, mu leaves are physically sharded, and the nu tree holds
+        FactoredNu pairs for the >=2-D trainable leaves."""
+        from blt_vqg_tpu.parallel.sharding import shard_opt_state
+        from blt_vqg_tpu.train.fused_adam import FactoredNu
+
+        cfg = tiny_cfg.replace(adam_factored_nu=True)
+        model = IQ(cfg, vocab_size)
+        batch = _tiny_batch(cfg, 8)
+        mesh = build_mesh((4, 2))
+        state = create_train_state(cfg, model, jax.random.key(0), batch)
+        state = state.replace(
+            params=shard_params(state.params, mesh),
+            batch_stats=replicate(state.batch_stats, mesh),
+            opt_state=shard_opt_state(state.opt_state, mesh))
+        step = make_train_step(cfg, latent_mode=True, mesh=mesh)
+        state, m = step(state, shard_batch(batch, mesh), jax.random.key(7))
+        assert np.isfinite(float(m["loss"]))
+        n_sh = sum(1 for x in jax.tree_util.tree_leaves(state.opt_state.mu)
+                   if hasattr(x, "addressable_shards") and x.ndim >= 1
+                   and any(s.data.shape != x.shape
+                           for s in x.addressable_shards))
+        assert n_sh > 0, "no mu leaf physically sharded"
+        n_fact = sum(isinstance(x, FactoredNu)
+                     for x in jax.tree_util.tree_leaves(
+                         state.opt_state.nu,
+                         is_leaf=lambda y: isinstance(y, FactoredNu)))
+        assert n_fact > 10, "expected FactoredNu leaves in the nu tree"
