@@ -780,3 +780,46 @@ class TestLegacyLoopUtilities:
         for _ in range(20):
             last = s2.update(2.0)
         assert last == pytest.approx(1e-2)   # 1e-3 absolute / 0.1 base
+
+
+class TestFactoredNuCheckpoint:
+    @pytest.mark.parametrize("backend", ["npz", "orbax"])
+    def test_round_trip_preserves_factored_state(self, tiny_cfg, vocab_size,
+                                                 tmp_path, backend):
+        """--adam_factored_nu survives a checkpoint save/restore on BOTH
+        backends: FactoredNu leaves (r/c EMAs) round-trip bit-exact and
+        training resumes finitely from the restored state."""
+        from blt_vqg_tpu.core.checkpoint import CheckpointManager
+        from blt_vqg_tpu.models.iq import IQ
+        from blt_vqg_tpu.train.fused_adam import FactoredNu
+        from blt_vqg_tpu.train.state import create_train_state
+        from blt_vqg_tpu.train.step import make_train_step
+        from __graft_entry__ import _example_batch
+
+        cfg = tiny_cfg.replace(adam_factored_nu=True)
+        model = IQ(cfg, vocab_size)
+        batch = _example_batch(cfg, vocab_size, cfg.batch_size)
+        state = create_train_state(cfg, model, jax.random.key(0), batch)
+        step = make_train_step(cfg, latent_mode=False)
+        for i in range(2):
+            state, m = step(state, batch, jax.random.key(i))
+        assert np.isfinite(float(m["loss"]))
+
+        mgr = CheckpointManager(str(tmp_path / "ckpt"), backend=backend)
+        mgr.save(state, cfg)
+        template = create_train_state(cfg, model, jax.random.key(1), batch)
+        restored = mgr.restore(template)
+
+        def fact_leaves(tree):
+            return [x for x in jax.tree_util.tree_leaves(
+                tree, is_leaf=lambda y: isinstance(y, FactoredNu))
+                if isinstance(x, FactoredNu)]
+
+        orig, rest = fact_leaves(state.opt_state.nu), \
+            fact_leaves(restored.opt_state.nu)
+        assert len(orig) == len(rest) and len(orig) > 10
+        for a, b in zip(orig, rest):
+            np.testing.assert_array_equal(np.asarray(a.r), np.asarray(b.r))
+            np.testing.assert_array_equal(np.asarray(a.c), np.asarray(b.c))
+        restored, m2 = step(restored, batch, jax.random.key(9))
+        assert np.isfinite(float(m2["loss"]))
